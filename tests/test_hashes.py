@@ -1,0 +1,103 @@
+"""Golden scalar vectors from the reference's unit tests
+(/root/reference/src/hash_functions.rs:84-137) + scalar↔vector parity."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jam_spark import hashes as H
+
+
+def test_xxhash3_golden():
+    assert H.xxh3_64(b"AAAAAAAAAAA") == 0x92994E9987384EE2
+
+
+def test_ahash_golden():
+    assert H.ahash_u64(0x0AAAAAAAAAAAAAAA) == 6369629604220809163
+
+
+def test_murmur3_golden():
+    assert H.murmur3_x64_128_low64(b"AAAAAAAAAAA") == 7773142420371383521
+
+
+def test_xxhash3_u64_golden():
+    assert H.xxh3_u64(0x0AAAAAAAAAAAAAAA) == 5855080426738543665
+
+
+def test_murmur3_u64_golden():
+    assert H.murmur3_u64(0x0AAAAAAAAAAAAAAA) == 442865051503200633
+
+
+def test_function_dispatch_golden():
+    """Mirror of function_test (src/hash_functions.rs:109-136): the large
+    path on b'AAAAAAAAAAA' equals the decimal golden there."""
+    assert H.xxh3_64(b"AAAAAAAAAAA") == 10563560822279786210
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=300, deadline=None)
+def test_ahash_vec_parity(x):
+    assert int(H.ahash_u64_np(np.array([x], dtype=np.uint64))[0]) == H.ahash_u64(x)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=300, deadline=None)
+def test_xxh3_u64_vec_parity(x):
+    assert int(H.xxh3_u64_np(np.array([x], dtype=np.uint64))[0]) == H.xxh3_u64(x)
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1))
+@settings(max_examples=300, deadline=None)
+def test_murmur3_u64_vec_parity(x):
+    assert int(H.murmur3_u64_np(np.array([x], dtype=np.uint64))[0]) == H.murmur3_u64(x)
+
+
+@given(st.binary(min_size=0, max_size=16))
+@settings(max_examples=300, deadline=None)
+def test_xxh3_short_vec_parity(b):
+    mat = np.zeros((1, 24), dtype=np.uint8)
+    mat[0, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    got = int(H.xxh3_64_short_np(mat, np.array([len(b)]))[0])
+    assert got == H.xxh3_64(b)
+
+
+@given(st.lists(st.binary(min_size=0, max_size=40), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_hash_tokens_parity(tokens):
+    got = H.hash_tokens(tokens)
+    assert [int(x) for x in got] == [H.xxh3_64(t) for t in tokens]
+
+
+@pytest.mark.parametrize("n", [17, 64, 128, 129, 240, 241, 1024, 1025, 4096])
+def test_xxh3_long_paths_stable(n):
+    """Long-input paths: deterministic and length-sensitive (self-check;
+    the 9-16 path is pinned by the golden vector above)."""
+    data = bytes((i * 131 + 7) % 256 for i in range(n))
+    h1 = H.xxh3_64(data)
+    h2 = H.xxh3_64(data)
+    assert h1 == h2
+    assert H.xxh3_64(data[:-1]) != h1
+
+
+def test_hash_uniformity_ks():
+    """KS uniformity over sequential keys, mirroring the reference's
+    statistical tests (tests/hash_statistics.rs:34-91, d < 0.005)."""
+    n = 100_000
+    keys = np.arange(n, dtype=np.uint64)
+    for fn in (H.ahash_u64_np, H.xxh3_u64_np, H.murmur3_u64_np):
+        h = np.sort(fn(keys).astype(np.float64) / float(2**64))
+        d = np.abs(h - (np.arange(1, n + 1) / n)).max()
+        assert d < 0.005, f"{fn.__name__}: KS d={d}"
+
+
+def test_hash_bit_balance():
+    """Every one of the 64 bits is set in (49%, 51%) of hashes over
+    sequential keys (mirrors tests/hash_statistics.rs:93-137; smaller n
+    with slightly wider tolerance for test runtime)."""
+    n = 1_000_000
+    keys = np.arange(n, dtype=np.uint64)
+    h = H.xxh3_u64_np(keys)
+    for bit in range(64):
+        frac = float(((h >> np.uint64(bit)) & np.uint64(1)).mean())
+        assert 0.485 < frac < 0.515, f"bit {bit}: {frac}"
