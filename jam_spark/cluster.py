@@ -1,0 +1,70 @@
+"""Duplicate-cluster closure: connected components over the verified-pair
+edge DataFrame via iterative hash-min label propagation.
+
+Not present in the reference (jam-rs stops at scored pairs,
+``src/compare.rs:28-36``); required by the north_rule. The label of a
+component converges to the minimum member id (same convention as the
+pure-Python oracle's union-find), so cluster ids are deterministic and
+restart-stable.
+
+Scale notes: each iteration is one shuffle on the node id; duplicate
+clusters are near-cliques (diameter 1-2) so convergence is fast — the
+giant-cluster / long-chain worst case is bounded by ``max_iter`` and each
+iteration is ``localCheckpoint``ed to cut lineage (SURVEY §7 hard-part 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Returns (url, cluster_id): cluster_id = min id in the component.
+
+    ``edges``: (id_a, id_b) pairs. ``nodes``: optional (url) universe —
+    ids with no edges become singleton clusters of themselves.
+    """
+    e = edges.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().localCheckpoint(eager=True)
+
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("url")).distinct()
+    else:
+        universe = e.select(F.col("src").alias("url")).distinct()
+
+    labels = universe.select("url", F.col("url").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # message passing: every node offers its label to its neighbors;
+        # new label = min(own, incoming)
+        msgs = e.join(
+            labels.withColumnRenamed("url", "src"), "src"
+        ).select(F.col("dst").alias("url"), "cluster_id")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("url")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "url")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

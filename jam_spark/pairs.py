@@ -1,0 +1,144 @@
+"""Candidate generation + verification + scoring.
+
+Mirrors the reference's index path (``src/compare.rs:308-387``) at LSH
+granularity:
+
+1. candidates — equi-self-join of the bands table on (band_id, band_hash)
+   ≅ the LMDB postings probe (``src/compare.rs:344-352``); Catalyst picks
+   the physical join, AQE handles skew; hot bands are additionally thinned
+   by a deterministic cap (north_rule's salted-keys concern).
+2. verify — exact sorted-set intersection of the two real sketches
+   (``src/compare.rs:170-203``) as a vectorized pandas UDF.
+3. score — index semantics ``|A∩B| / min(|A|,|B|) × 100``
+   (``src/compare.rs:358-364``) or all-pairs semantics
+   ``|A∩B| / max × fraction × 100`` (``src/compare.rs:171,205-227``),
+   computed as JVM column expressions; cutoff strict ``>``
+   (``src/compare.rs:375-380``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bands import make_band_udf
+from .params import SketchParams
+
+
+def bands_table(sketches: DataFrame, params: SketchParams, id_col: str = "url") -> DataFrame:
+    """(id, band_id, band_hash) postings — the banded generalization of the
+    reference's LMDB ``hashes`` table (``src/file_io.rs:227-232``)."""
+    band_udf = make_band_udf(params)
+    return (
+        sketches.select(id_col, F.posexplode(band_udf("sketch")).alias("band_id", "band_hash"))
+    )
+
+
+def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") -> DataFrame:
+    """Deterministically thin bands whose postings exceed ``band_cap``.
+
+    Scale-safe: sizes come from a partial-aggregated count (no window sort
+    over the hot key); only the (few) hot band keys are broadcast back.
+    Members are kept iff ``xxhash64(id) % ceil(size/cap) == 0`` —
+    deterministic, restart-stable, and preserving ~cap members per hot
+    band. Near-identical docs collide in many of the ``bands`` bands, so
+    thinning one band barely affects recall (measured in tests).
+    """
+    if not params.band_cap:
+        return bands
+    sizes = bands.groupBy("band_id", "band_hash").count()
+    hot = sizes.filter(F.col("count") > params.band_cap).withColumn(
+        "thin_mod",
+        F.ceil(F.col("count") / F.lit(params.band_cap)).cast("long"),
+    )
+    joined = bands.join(
+        F.broadcast(hot.select("band_id", "band_hash", "thin_mod")),
+        ["band_id", "band_hash"],
+        "left",
+    )
+    return joined.filter(
+        F.col("thin_mod").isNull()
+        | (F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod")) == 0)
+    ).drop("thin_mod")
+
+
+def candidate_pairs(bands: DataFrame, id_col: str = "url") -> DataFrame:
+    """Self-join on the band key; canonical orientation id_a < id_b
+    (≅ the reference's larger/smaller ordering, ``src/compare.rs:146-163``,
+    made symmetric-duplicate-free)."""
+    a = bands.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = bands.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@F.pandas_udf(T.IntegerType())
+def _num_common_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """Exact sketch-intersection size (sorted-merge semantics,
+    ``src/compare.rs:170-203``). Arrays are unique by construction."""
+    out = np.empty(len(sa), dtype=np.int32)
+    for i, (x, y) in enumerate(zip(sa, sb)):
+        if x is None or y is None or len(x) == 0 or len(y) == 0:
+            out[i] = 0
+        else:
+            out[i] = np.intersect1d(
+                np.asarray(x, dtype=np.int64),
+                np.asarray(y, dtype=np.int64),
+                assume_unique=True,
+            ).size
+    return pd.Series(out)
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    sketches: DataFrame,
+    params: SketchParams,
+    broadcast_sketches: bool = False,
+) -> DataFrame:
+    """Join candidate ids back to their sketches and compute exact
+    num_common + containment score.
+
+    Output: (id_a, id_b, num_common int, num_kmers int, similarity double),
+    filtered to ``similarity > cutoff`` (strict, percent scale).
+    """
+    sk = sketches.select(
+        F.col("url").alias("_vid"),
+        F.col("sketch").alias("_vsketch"),
+        F.col("num_hashes").alias("_vn"),
+    )
+    if broadcast_sketches:
+        sk = F.broadcast(sk)
+    j = (
+        candidates.join(sk.withColumnsRenamed({"_vid": "id_a", "_vsketch": "sketch_a", "_vn": "n_a"}), "id_a")
+        .join(sk.withColumnsRenamed({"_vid": "id_b", "_vsketch": "sketch_b", "_vn": "n_b"}), "id_b")
+    )
+    j = j.withColumn("num_common", _num_common_udf("sketch_a", "sketch_b"))
+    if params.scorer == "index":
+        # num_kmers = min(|A|,|B|)  (src/compare.rs:358-364)
+        j = j.withColumn("num_kmers", F.least("n_a", "n_b"))
+    else:
+        # num_kmers = max(num_kmers_a, num_kmers_b); fraction = 1.0 for
+        # fresh sketches where num_kmers == |hashes| (src/compare.rs:171,205-217)
+        j = j.withColumn("num_kmers", F.greatest("n_a", "n_b"))
+    j = j.withColumn(
+        "similarity",
+        F.when(
+            F.col("num_kmers") > 0,
+            F.col("num_common") / F.col("num_kmers") * F.lit(100.0),
+        ).otherwise(F.lit(0.0)),
+    )
+    return (
+        j.filter(F.col("similarity") > F.lit(params.cutoff))  # strict >
+        .select("id_a", "id_b", "num_common", "num_kmers", "similarity")
+    )

@@ -1,0 +1,105 @@
+"""End-to-end duplicate-detection pipeline (in-memory orchestration;
+checkpointed/resumable variant lives in ``checkpoint.py``).
+
+    pages (url, warc_ts, html, text, lang)
+      │  exact-dup pre-group on md5(text)           [JVM only, no UDF]
+      ▼
+    reps (url, text)          members (url, text_fp, rep_url)
+      │  sketch_udf (Arrow)
+      ▼
+    sketches (url, sketch array<long>, num_hashes)
+      │  band_udf + posexplode → thin hot bands → self-join
+      ▼
+    candidates (id_a, id_b) → verify (exact intersection) → pairs
+      │  hash-min connected components
+      ▼
+    clusters (url, cluster_id)   — cluster_id = min member url
+
+The exact pre-group mirrors nothing in the reference (it compares every
+sketch); it is the web-scale move that removes the dominant skew source
+(boilerplate/exact mirrors) BEFORE the shuffle-heavy stages, and exact
+duplicates provably share identical sketches, so results are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .cluster import connected_components
+from .pairs import bands_table, candidate_pairs, thin_hot_bands, verify_pairs
+from .params import SketchParams
+from .sketch import make_sketch_udf
+
+
+def exact_groups(pages: DataFrame) -> DataFrame:
+    """(url, text_fp, rep_url): md5-text fingerprint and the minimum url
+    of each identical-text group (the group's representative)."""
+    fp = pages.select("url", F.md5(F.col("text")).alias("text_fp"))
+    reps = fp.groupBy("text_fp").agg(F.min("url").alias("rep_url"))
+    return fp.join(reps, "text_fp").select("url", "text_fp", "rep_url")
+
+
+def sketch_stage(
+    pages: DataFrame, params: SketchParams, dedup_exact_first: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (sketches, membership).
+
+    sketches:   (url, sketch array<long>, num_hashes int) — reps only.
+    membership: (url, rep_url) for every input row.
+    """
+    sketch_udf = make_sketch_udf(params)
+    if dedup_exact_first:
+        groups = exact_groups(pages)
+        membership = groups.select("url", "rep_url")
+        reps = (
+            pages.join(
+                groups.filter(F.col("url") == F.col("rep_url")).select("url"),
+                "url",
+            )
+        )
+    else:
+        membership = pages.select("url", F.col("url").alias("rep_url"))
+        reps = pages
+    sketches = reps.select(
+        "url", sketch_udf(F.col("text")).alias("sketch")
+    ).withColumn("num_hashes", F.size("sketch"))
+    return sketches, membership
+
+
+def pairs_stage(
+    sketches: DataFrame, params: SketchParams, broadcast_sketches: bool = False
+) -> DataFrame:
+    """sketches → verified duplicate pairs above cutoff."""
+    bands = bands_table(sketches, params)
+    bands = thin_hot_bands(bands, params)
+    cands = candidate_pairs(bands)
+    return verify_pairs(cands, sketches, params, broadcast_sketches)
+
+
+def cluster_stage(
+    pairs: DataFrame, membership: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Verified pairs (over reps) + exact membership → (url, cluster_id)
+    for every input row. cluster_id = min url in the merged component."""
+    rep_nodes = membership.select(F.col("rep_url").alias("url")).distinct()
+    rep_clusters = connected_components(pairs, rep_nodes, max_iter=max_iter)
+    return (
+        membership.join(
+            rep_clusters.withColumnRenamed("url", "rep_url"), "rep_url"
+        )
+        .select("url", "cluster_id")
+    )
+
+
+def dedup_pipeline(
+    pages: DataFrame,
+    params: SketchParams | None = None,
+    dedup_exact_first: bool = True,
+    broadcast_sketches: bool = False,
+) -> DataFrame:
+    """Full pipeline: pages → (url, cluster_id)."""
+    params = params or SketchParams()
+    sketches, membership = sketch_stage(pages, params, dedup_exact_first)
+    pairs = pairs_stage(sketches, params, broadcast_sketches)
+    return cluster_stage(pairs, membership)

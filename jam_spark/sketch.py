@@ -1,0 +1,171 @@
+"""Sketch stage: ``text`` → FracMinHash/bottom-k sketch, vectorized.
+
+Semantics are the reference's sketch pipeline (``src/sketcher.rs``):
+tokenize → pack each k-shingle into a u64 → ONE hash pass per shingle →
+strict ``hash < max_hash`` filter → set semantics → bottom-nmax smallest,
+stored sorted ascending in unsigned order.
+
+Implementation is Arrow-batched: the whole batch's tokens are hashed as
+one flat numpy array; sliding k-windows are computed with a
+prefix-product trick (the polynomial base is odd ⇒ invertible mod 2^64);
+per-doc unique/sort/cap is one lexsort over the batch. No per-row Python
+in the hot path beyond tokenization itself.
+
+u64-vs-i64 (SURVEY §7 hard-part 1): hashes live as np.uint64 inside the
+UDF — threshold and ordering are unsigned there — and are stored in
+Spark as their i64 two's-complement bits (``ArrayType(LongType)``).
+Spark SQL never orders raw hash values.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from .hashes import (
+    M64,
+    ahash_u64_np,
+    hash_tokens,
+    murmur3_u64_np,
+    xxh3_u64_np,
+)
+from .normalize import tokenize
+from .params import SHINGLE_POLY_BASE, SketchParams
+
+_U64 = np.uint64
+
+_ALGO_NP = {"xxh3": xxh3_u64_np, "ahash": ahash_u64_np, "murmur3": murmur3_u64_np}
+
+# modular inverse of the (odd) polynomial base mod 2^64
+_POLY_INV = pow(SHINGLE_POLY_BASE, -1, 1 << 64)
+
+
+def _powers(base: int, n: int) -> np.ndarray:
+    """[base^0, base^1, ..., base^(n-1)] mod 2^64."""
+    out = np.empty(n, dtype=_U64)
+    out[0] = 1
+    if n > 1:
+        out[1:] = _U64(base & M64)
+        np.multiply.accumulate(out, out=out)
+    return out
+
+
+def shingle_hashes_flat(
+    token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """All k-window polynomial packs for a batch of docs.
+
+    token_hashes: flat uint64 array of per-token base hashes.
+    doc_offsets:  int64 array, len n_docs+1; doc d owns
+                  token_hashes[doc_offsets[d]:doc_offsets[d+1]].
+    Returns (packed_values uint64, win_doc int64) for every window that
+    lies fully inside one doc.
+    """
+    n = len(token_hashes)
+    if n == 0 or k <= 0:
+        return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
+    # prefix method: A_j = t_j * P^{-j}; C = cumsum(A);
+    # window [i, i+k) value = (C[i+k-1] - C[i-1]) * P^{i+k-1}
+    pinv = _powers(_POLY_INV, n)
+    pfwd = _powers(SHINGLE_POLY_BASE, n)
+    a = token_hashes * pinv
+    c = np.cumsum(a, dtype=_U64)
+    if n < k:
+        return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
+    hi = c[k - 1 :]  # C[i+k-1] for i = 0..n-k
+    lo = np.concatenate(([_U64(0)], c[: n - k]))  # C[i-1], C[-1] := 0
+    vals = (hi - lo) * pfwd[k - 1 :]
+    # window start doc & validity: window fully inside one doc
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    win_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
+    valid = starts + k <= doc_offsets[win_doc + 1]
+    return vals[valid], win_doc[valid]
+
+
+def sketch_batch(
+    texts: Iterable[str], params: SketchParams
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sketch a batch of documents.
+
+    Returns (flat_hashes uint64 sorted per doc ascending-unsigned,
+    offsets int64 len n_docs+1).
+    """
+    tok_lists = [tokenize(t) if t is not None else [] for t in texts]
+    n_docs = len(tok_lists)
+    doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in tok_lists], out=doc_offsets[1:])
+
+    # hash unique tokens once per batch (pandas factorize), then gather
+    flat_tokens = [t for toks in tok_lists for t in toks]
+    if flat_tokens:
+        codes, uniques = pd.factorize(pd.array(flat_tokens), use_na_sentinel=False)
+        uniq_hashes = hash_tokens([u.encode("utf-8") for u in uniques])
+        token_hashes = uniq_hashes[codes]
+    else:
+        token_hashes = np.empty(0, dtype=_U64)
+
+    vals, win_doc = shingle_hashes_flat(token_hashes, doc_offsets, params.k)
+
+    # ONE hash pass per shingle (src/sketcher.rs:96-104 analogue)
+    h = _ALGO_NP[params.algo](vals)
+
+    # FracMinHash: strict h < max_hash (src/sketcher.rs:28)
+    if params.max_hash != M64:
+        keep = h < _U64(params.max_hash)
+    else:
+        keep = h != _U64(M64)  # reference: strict < u64::MAX drops MAX itself
+    h = h[keep]
+    win_doc = win_doc[keep]
+
+    # per-doc unique + sort (unsigned) in one lexsort over the batch
+    order = np.lexsort((h, win_doc))
+    h = h[order]
+    win_doc = win_doc[order]
+    if len(h):
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (h[1:] != h[:-1]) | (win_doc[1:] != win_doc[:-1])
+        h = h[first]
+        win_doc = win_doc[first]
+
+    counts = np.bincount(win_doc, minlength=n_docs) if len(h) else np.zeros(
+        n_docs, dtype=np.int64
+    )
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    # bottom-nmax: keep the nmax smallest per doc (src/sketcher.rs:30-33)
+    if params.nmax is not None and len(h):
+        rank = np.arange(len(h), dtype=np.int64) - offsets[win_doc]
+        keep = rank < params.nmax
+        if not keep.all():
+            h = h[keep]
+            win_doc = win_doc[keep]
+            counts = np.bincount(win_doc, minlength=n_docs)
+            offsets = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+    return h, offsets
+
+
+def sketch_arrays(texts: Iterable[str], params: SketchParams) -> list[np.ndarray]:
+    """Per-doc sorted uint64 sketch arrays (convenience wrapper)."""
+    h, off = sketch_batch(list(texts), params)
+    return [h[off[d] : off[d + 1]] for d in range(len(off) - 1)]
+
+
+def make_sketch_udf(params: SketchParams):
+    """pandas UDF: text → array<long> sketch (i64 bit view of the sorted
+    unsigned u64 hashes). Register on a column with
+    ``df.withColumn("sketch", udf("text"))``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _sketch(texts: pd.Series) -> pd.Series:
+        h, off = sketch_batch(texts.tolist(), params)
+        signed = h.view(np.int64)
+        return pd.Series(
+            [signed[off[d] : off[d + 1]] for d in range(len(off) - 1)]
+        )
+
+    return F.pandas_udf(_sketch, T.ArrayType(T.LongType()))

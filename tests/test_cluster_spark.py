@@ -1,0 +1,82 @@
+"""End-to-end cluster assignments: Spark pipeline vs oracle union-find —
+exact-equality check (stronger than the 0.99 recall gate) plus the
+ground-truth sanity check on the planted corpus."""
+
+from collections import defaultdict
+from itertools import combinations
+
+from jam_spark import oracle as O
+from jam_spark.params import SketchParams
+from jam_spark.pipeline import dedup_pipeline
+
+
+def _pairset(assign: dict[str, str]) -> set[tuple[str, str]]:
+    g = defaultdict(list)
+    for u, c in assign.items():
+        g[c].append(u)
+    s = set()
+    for mem in g.values():
+        for a, b in combinations(sorted(mem), 2):
+            s.add((a, b))
+    return s
+
+
+def test_cluster_assignments_match_oracle(spark, corpus_pages, pages_df):
+    params = SketchParams()
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pipeline(pages_df, params).collect()
+    }
+    o_sketches = [O.sketch_text(p.text, params, name=p.url) for p in corpus_pages]
+    o_pairs = O.all_pairs(o_sketches, params)
+    want = O.cluster([p.url for p in corpus_pages], o_pairs)
+
+    assert set(got) == set(want)
+    got_ps, want_ps = _pairset(got), _pairset(want)
+    inter = len(got_ps & want_ps)
+    recall = inter / max(1, len(want_ps))
+    precision = inter / max(1, len(got_ps))
+    assert recall >= 0.99, f"cluster pair recall {recall}"
+    assert precision >= 0.99, f"cluster pair precision {precision}"
+    # with healthy banding the assignments are exactly equal
+    diffs = {u for u in got if got[u] != want[u]}
+    assert not diffs, sorted(diffs)[:10]
+
+
+def test_clusters_against_planted_truth(spark, corpus_pages, pages_df):
+    """The pipeline finds the planted exact+near clusters and leaves
+    decoys/uniques alone (generation-level sanity; the authoritative
+    gate is the oracle comparison above)."""
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pipeline(pages_df, SketchParams()).collect()
+    }
+    truth = {p.url: p.cluster_id for p in corpus_pages}
+    got_ps, truth_ps = _pairset(got), _pairset(truth)
+    inter = len(got_ps & truth_ps)
+    assert inter / max(1, len(truth_ps)) >= 0.99
+    assert inter / max(1, len(got_ps)) >= 0.99
+
+
+def test_connected_components_chain(spark):
+    """Label propagation converges on a chain (worst diameter case)."""
+    from jam_spark.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"u{i:02d}", f"u{i+1:02d}") for i in range(10)], ["id_a", "id_b"]
+    )
+    labels = {
+        r["url"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert set(labels.values()) == {"u00"}
+
+    # two components + singleton via nodes universe
+    edges2 = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("z",)], ["url"])
+    labels2 = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges2, nodes).collect()
+    }
+    assert labels2 == {"a": "a", "b": "a", "c": "c", "d": "c", "z": "z"}

@@ -1,0 +1,95 @@
+"""LSH candidate generation + verification vs the exhaustive oracle:
+dup-pair recall >= 0.99 at identical config (the BASELINE.json gate)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from jam_spark import oracle as O
+from jam_spark.bands import band_arrays
+from jam_spark.params import SketchParams
+from jam_spark.pipeline import pairs_stage, sketch_stage
+
+
+@pytest.fixture(scope="module")
+def oracle_state(corpus_pages):
+    params = SketchParams()
+    sketches = [O.sketch_text(p.text, params, name=p.url) for p in corpus_pages]
+    pairs = O.all_pairs(sketches, params)
+    return params, sketches, pairs
+
+
+def test_band_arrays_deterministic():
+    params = SketchParams()
+    sk = [
+        np.array([1, 2, 3, 2**63 + 5], dtype=np.uint64),
+        np.array([], dtype=np.uint64),
+        np.array([7], dtype=np.uint64),
+    ]
+    b1 = band_arrays(sk, params)
+    b2 = band_arrays(sk, params)
+    assert all((x == y).all() for x, y in zip(b1, b2))
+    assert len(b1[0]) == params.bands
+    assert len(b1[1]) == 0  # empty sketch -> no bands
+    # identical sketches collide in every band
+    b3 = band_arrays([sk[0], sk[0].copy()], params)
+    assert (b3[0] == b3[1]).all()
+
+
+def test_pair_recall_vs_oracle(spark, corpus_pages, pages_df, oracle_state):
+    params, o_sketches, o_pairs = oracle_state
+    sketches, membership = sketch_stage(pages_df, params)
+    got = pairs_stage(sketches, params).collect()
+    got_pairs = {(r["id_a"], r["id_b"]): r for r in got}
+
+    # exact-dup membership: pairs inside one exact group never reach the
+    # LSH stage; account for them via the rep mapping
+    rep = {r["url"]: r["rep_url"] for r in membership.collect()}
+
+    missing = []
+    score_mismatch = []
+    for a, b, c, nk, s in o_pairs:
+        ra, rb = rep[a], rep[b]
+        if ra == rb:
+            continue  # same exact group — implied pair, similarity 100
+        key = (min(ra, rb), max(ra, rb))
+        if key not in got_pairs:
+            missing.append((a, b, s))
+        else:
+            r = got_pairs[key]
+            if not (
+                r["num_common"] == c
+                and r["num_kmers"] == nk
+                and abs(r["similarity"] - s) < 1e-9
+            ):
+                score_mismatch.append((key, (r["num_common"], r["num_kmers"], r["similarity"]), (c, nk, s)))
+
+    considered = [p for p in o_pairs if rep[p[0]] != rep[p[1]]]
+    recall = 1 - len(missing) / max(1, len(considered))
+    assert not score_mismatch, score_mismatch[:5]
+    assert recall >= 0.99, f"recall {recall}: missing {missing[:10]}"
+
+    # no false positives: every verified Spark pair must be an oracle pair
+    o_keys = {
+        (min(rep[a], rep[b]), max(rep[a], rep[b])) for a, b, *_ in o_pairs
+    }
+    extras = set(got_pairs) - o_keys
+    assert not extras, list(extras)[:10]
+
+
+def test_hot_band_thinning_caps_postings(spark, pages_df):
+    from jam_spark.pairs import bands_table, thin_hot_bands
+
+    params = SketchParams(band_cap=8)
+    sketches, _ = sketch_stage(pages_df, params)
+    bands = bands_table(sketches, params)
+    thinned = thin_hot_bands(bands, params)
+    sizes = (
+        thinned.groupBy("band_id", "band_hash")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    # thinning keeps ~cap members (probabilistic mod filter: allow 3x slack)
+    assert sizes <= 3 * params.band_cap
+    assert thinned.count() < bands.count()  # the hot template got thinned
