@@ -1,38 +1,105 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-duplicate clustering pipeline on
+the sf0.001 documents table. ``queries()`` exposes every implemented
+operator; ``oracle_sql()`` gives the DuckDB-runnable ANSI-SQL twin for
+each SQL-expressible one (identical tokenizer regex / hash choices /
+integer-exact arithmetic, see jam_spark.ops).
+
+MinHash/LSH stages use xxh3 (not expressible in ANSI SQL) — those are
+rows-only here and verified element-exactly against the pure-Python
+oracle in tests/ (python -m pytest -x -q).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _prep(spark: SparkSession) -> None:
+    from jam_spark.deploy import ensure_shipped
+
+    ensure_shipped(spark)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (sketch → LSH bands → verify →
+    connected components) over sf0.001 documents."""
+    _prep(spark)
+    from jam_spark.ops.dedup import minhash_clusters
+
+    return minhash_clusters(_docs(spark, "/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jam_spark.ops import dedup, similarity, text
+    from jam_spark.params import SketchParams
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prep(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {
+        # --- exact dedup (hash-groupBy / window) ---
+        "exact_dedup_groups": q(lambda s, d: dedup.exact_dedup_groups(_docs(s, d))),
+        "exact_dedup_members": q(lambda s, d: dedup.exact_dedup_members(_docs(s, d))),
+        # --- text analysis ---
+        "token_counts": q(lambda s, d: text.token_counts(_docs(s, d))),
+        "doc_quality": q(lambda s, d: text.doc_quality(_docs(s, d))),
+        "lang_profile": q(lambda s, d: text.lang_profile(_docs(s, d))),
+        "lang_id": q(lambda s, d: text.lang_id(_docs(s, d))),
+        "doc_fingerprint": q(lambda s, d: text.doc_fingerprint(_docs(s, d))),
+        # --- near-dup: n-gram jaccard + simhash (SQL-checkable) ---
+        "ngram_jaccard_pairs": q(
+            lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
+        ),
+        "simhash": q(lambda s, d: dedup.simhash(_docs(s, d))),
+        # --- near-dup: minhash/LSH core (jam-rs semantics; oracle-less,
+        #     verified vs the pure-Python oracle in pytest) ---
+        "minhash_sketches": q(lambda s, d: dedup.minhash_sketches(_docs(s, d))),
+        "minhash_pairs": q(lambda s, d: dedup.minhash_pairs(_docs(s, d))),
+        "minhash_clusters": q(lambda s, d: dedup.minhash_clusters(_docs(s, d))),
+        # --- similarity search ---
+        "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embs(s, d))),
+        "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
+        "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jam_spark.ops import dedup, similarity, text
+
+    return {
+        "exact_dedup_groups": dedup.exact_dedup_groups_sql(),
+        "exact_dedup_members": dedup.exact_dedup_members_sql(),
+        "token_counts": text.token_counts_sql(),
+        "doc_quality": text.doc_quality_sql(),
+        "lang_profile": text.lang_profile_sql(),
+        "lang_id": text.lang_id_sql(),
+        "doc_fingerprint": text.doc_fingerprint_sql(),
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
+        "simhash": dedup.simhash_sql(),
+        "cosine_topk": similarity.cosine_topk_sql(),
+        # minhash_* and ann_lsh_topk intentionally omitted:
+        # xxh3/LSH not expressible in ANSI SQL; covered by pytest oracle.
+    }

@@ -54,11 +54,15 @@ def signature_batch(
     sig = np.full((n_docs, params.num_perm), _U64(M64), dtype=_U64)
     if len(flat_hashes) == 0:
         return sig
-    # (total_hashes, num_perm) mix, then per-doc min via reduceat
-    mixed = _np_fmix64(flat_hashes[:, None] ^ seeds[None, :])
     nonempty = np.where(offsets[1:] > offsets[:-1])[0]
-    if len(nonempty):
-        sig[nonempty] = np.minimum.reduceat(mixed, offsets[nonempty], axis=0)
+    if not len(nonempty):
+        return sig
+    starts = offsets[nonempty]
+    # one perm at a time: keeps the working set at |hashes| u64s instead
+    # of |hashes| x num_perm (memory-bandwidth bound otherwise)
+    for p in range(params.num_perm):
+        mixed = _np_fmix64(flat_hashes ^ seeds[p])
+        sig[nonempty, p] = np.minimum.reduceat(mixed, starts)
     return sig
 
 

@@ -25,15 +25,73 @@ def connected_components(
     max_iter: int = 50,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    driver_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Returns (url, cluster_id): cluster_id = min id in the component.
 
     ``edges``: (id_a, id_b) pairs. ``nodes``: optional (url) universe —
     ids with no edges become singleton clusters of themselves.
+
+    Hybrid strategy (same spirit as AQE's runtime broadcast switch):
+    after dedup the *edge* set is orders of magnitude smaller than the
+    corpus — duplicate pairs only. If it fits comfortably on the driver
+    (≤ ``driver_threshold`` edges) a local union-find closes components
+    in one pass and the labels are joined back distributively; above the
+    threshold the iterative hash-min label propagation runs fully
+    distributed. Both produce identical labels (min member id).
     """
-    e = edges.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    e0 = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    n_edges = e0.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        return _cc_driver(e0, nodes)
+    return _cc_distributed(e0, nodes, max_iter)
+
+
+def _cc_driver(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
+    """Collect edges (NOT the corpus) to the driver, union-find, join
+    labels back. Only multi-member clusters need a labels row — nodes
+    absent from the (broadcast) label map are singletons of themselves."""
+    spark = e0.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in e0.toLocalIterator():
+        a, b = row["src"], row["dst"]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(x, find(x)) for x in list(parent)]
+    if nodes is None:
+        universe = e0.select(F.col("src").alias("url")).union(
+            e0.select(F.col("dst").alias("url"))
+        ).distinct()
+    else:
+        universe = nodes.select(F.col(nodes.columns[0]).alias("url")).distinct()
+    if not labels:
+        return universe.select("url", F.col("url").alias("cluster_id"))
+    lab_df = spark.createDataFrame(labels, ["url", "label"])
+    return (
+        universe.join(F.broadcast(lab_df), "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("label"), F.col("url")).alias("cluster_id"),
+        )
     )
+
+
+def _cc_distributed(
+    e0: DataFrame, nodes: DataFrame | None, max_iter: int
+) -> DataFrame:
+    e = e0
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.distinct().localCheckpoint(eager=True)
 

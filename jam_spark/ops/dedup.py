@@ -1,0 +1,268 @@
+"""Deduplication operators over ``documents(doc_id, text, ...)``:
+
+- exact dedup (md5 hash-groupBy) — SQL-checkable
+- n-gram Jaccard near-dup pairs — SQL-checkable
+- SimHash fingerprints + near-dup pairs — SQL-checkable (portable 60-bit
+  hex-cast token hashes; no engine-specific hash functions)
+- MinHash+LSH (the core jam-rs-semantics engine from jam_spark.pipeline)
+  — Spark-only (xxh3 not expressible in ANSI SQL), verified against the
+  pure-Python oracle in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..params import SketchParams
+from ..pipeline import dedup_pipeline, pairs_stage, sketch_stage
+from .text import _TOKENS, _tokens_col
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """One row per distinct text: fingerprint, group size, canonical id."""
+    return (
+        documents.groupBy(F.md5("text").alias("text_fp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+    )
+
+
+def exact_dedup_groups_sql() -> str:
+    return """
+        SELECT md5(text) AS text_fp,
+               count(*)::BIGINT AS n_docs,
+               min(doc_id)::BIGINT AS canonical_id
+        FROM documents GROUP BY md5(text)
+    """
+
+
+def exact_dedup_members(documents: DataFrame) -> DataFrame:
+    """(doc_id, canonical_id) via a window min — every doc mapped to the
+    smallest doc_id sharing its exact text."""
+    w = Window.partitionBy(F.md5("text"))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+    )
+
+
+def exact_dedup_members_sql() -> str:
+    return """
+        SELECT doc_id::BIGINT AS doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text))::BIGINT AS canonical_id
+        FROM documents
+    """
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def _ngrams_col(n: int = 3):
+    toks = _tokens_col()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    # guard: sequence(1, x) with x < 1 would generate a DESCENDING ramp
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for all pairs above ``threshold``
+    (strict >), computed distributively: explode distinct n-grams,
+    equi-join on the gram, count common per pair, Jaccard from exact
+    integer counts. This is the same join shape as the reference's
+    inverted-index probe (src/compare.rs:344-352) with n-grams as keys.
+    """
+    grams = (
+        documents.select("doc_id", F.explode(_ngrams_col(n)).alias("gram"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    g1 = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    g2 = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    common = (
+        g1.join(g2, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") > threshold)
+    )
+    return out.select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("n_common").cast("long"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        "jaccard",
+    )
+
+
+def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+    gram_expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, gram
+          FROM (
+            SELECT doc_id,
+                   unnest([{gram_expr} for i in range(1, len(t) - {n - 2})]) AS gram
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+               c.n_common::BIGINT AS n_common,
+               sa.sz::BIGINT AS n_a, sb.sz::BIGINT AS n_b,
+               c.n_common::DOUBLE / (sa.sz + sb.sz - c.n_common) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE c.n_common::DOUBLE / (sa.sz + sb.sz - c.n_common) > {threshold}
+    """
+
+
+# -------------------------------------------------------------- simhash
+
+#: number of simhash bits (60 = 15 hex chars of md5, portably castable
+#: to a signed BIGINT in both Spark and DuckDB)
+SIMHASH_BITS = 60
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash string of SIMHASH_BITS '0'/'1' chars, msb first).
+
+    Token hash = first 15 hex chars of md5(token) as a 60-bit integer
+    (portable across engines); bit b of the simhash is 1 iff the sum over
+    *distinct* tokens of (2*bit_b(token) - 1) is positive.
+    """
+    toks = (
+        documents.select(
+            "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok")
+        )
+        .withColumn(
+            "th",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
+        )
+    )
+    bits = toks.select(
+        "doc_id",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+    ).withColumn("contrib", F.expr("(shiftright(th, b) & 1) * 2 - 1"))
+    agg = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return (
+        agg.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.reverse(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("b"), F.col("bit")))
+                        ),
+                        lambda s: s["bit"],
+                    )
+                ),
+            ).alias("simhash")
+        )
+        .select(F.col("doc_id").cast("long"), "simhash")
+    )
+
+
+def simhash_sql() -> str:
+    return f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ),
+        th AS (
+          SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS th
+          FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, b.b AS b,
+                 sum(((th >> b.b) & 1) * 2 - 1) AS s
+          FROM th, (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) b
+          GROUP BY doc_id, b.b
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY b DESC) AS simhash
+        FROM bits GROUP BY doc_id
+    """
+
+
+# ----------------------------------------------- minhash-LSH (the core)
+
+def documents_as_pages(documents: DataFrame) -> DataFrame:
+    """Adapt the documents table to the pipeline's pages contract.
+
+    doc_ids are zero-padded so the pipeline's lexicographic min-url
+    cluster labels coincide with numeric-min doc_ids."""
+    return documents.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "text"
+    )
+
+
+def minhash_sketches(documents: DataFrame, params: SketchParams | None = None) -> DataFrame:
+    params = params or SketchParams()
+    sketches, _ = sketch_stage(documents_as_pages(documents), params)
+    return sketches.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("num_hashes").cast("long"),
+    )
+
+
+def minhash_pairs(documents: DataFrame, params: SketchParams | None = None) -> DataFrame:
+    params = params or SketchParams()
+    sketches, _ = sketch_stage(documents_as_pages(documents), params)
+    p = pairs_stage(sketches.persist(), params)
+    return p.select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"),
+        F.col("num_common").cast("long"),
+        F.col("num_kmers").cast("long"),
+        "similarity",
+    )
+
+
+def minhash_clusters(documents: DataFrame, params: SketchParams | None = None) -> DataFrame:
+    params = params or SketchParams()
+    out = dedup_pipeline(documents_as_pages(documents), params)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

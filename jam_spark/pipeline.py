@@ -41,12 +41,19 @@ def exact_groups(pages: DataFrame) -> DataFrame:
 
 
 def sketch_stage(
-    pages: DataFrame, params: SketchParams, dedup_exact_first: bool = True
+    pages: DataFrame,
+    params: SketchParams,
+    dedup_exact_first: bool = True,
+    n_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (sketches, membership).
 
     sketches:   (url, sketch array<long>, num_hashes int) — reps only.
     membership: (url, rep_url) for every input row.
+
+    The rep set is repartitioned before the sketch UDF so the (CPU-bound)
+    hashing uses the full task parallelism even when the source has few
+    input splits.
     """
     sketch_udf = make_sketch_udf(params)
     if dedup_exact_first:
@@ -61,7 +68,8 @@ def sketch_stage(
     else:
         membership = pages.select("url", F.col("url").alias("rep_url"))
         reps = pages
-    sketches = reps.select(
+    n_partitions = n_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    sketches = reps.repartition(n_partitions, "url").select(
         "url", sketch_udf(F.col("text")).alias("sketch")
     ).withColumn("num_hashes", F.size("sketch"))
     return sketches, membership
@@ -70,8 +78,13 @@ def sketch_stage(
 def pairs_stage(
     sketches: DataFrame, params: SketchParams, broadcast_sketches: bool = False
 ) -> DataFrame:
-    """sketches → verified duplicate pairs above cutoff."""
-    bands = bands_table(sketches, params)
+    """sketches → verified duplicate pairs above cutoff.
+
+    The bands table is persisted: it feeds the hot-band size aggregate,
+    the thinning join, and both sides of the candidate self-join —
+    without persistence the signature UDF would be recomputed 4x.
+    """
+    bands = bands_table(sketches, params).persist()
     bands = thin_hot_bands(bands, params)
     cands = candidate_pairs(bands)
     return verify_pairs(cands, sketches, params, broadcast_sketches)
@@ -101,5 +114,8 @@ def dedup_pipeline(
     """Full pipeline: pages → (url, cluster_id)."""
     params = params or SketchParams()
     sketches, membership = sketch_stage(pages, params, dedup_exact_first)
+    # sketches feed the band UDF and both sides of the verify join —
+    # persist so the expensive sketch UDF runs exactly once
+    sketches = sketches.persist()
     pairs = pairs_stage(sketches, params, broadcast_sketches)
     return cluster_stage(pairs, membership)

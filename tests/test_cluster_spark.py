@@ -65,10 +65,14 @@ def test_connected_components_chain(spark):
     edges = spark.createDataFrame(
         [(f"u{i:02d}", f"u{i+1:02d}") for i in range(10)], ["id_a", "id_b"]
     )
-    labels = {
-        r["url"]: r["cluster_id"] for r in connected_components(edges).collect()
-    }
-    assert set(labels.values()) == {"u00"}
+    # distributed label-propagation path (force via threshold=0) and the
+    # driver union-find fast path must agree
+    for thr in (0, 5_000_000):
+        labels = {
+            r["url"]: r["cluster_id"]
+            for r in connected_components(edges, driver_threshold=thr).collect()
+        }
+        assert set(labels.values()) == {"u00"}, f"threshold={thr}"
 
     # two components + singleton via nodes universe
     edges2 = spark.createDataFrame(
