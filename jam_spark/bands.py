@@ -21,8 +21,11 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ._malloc import tune_malloc
 from .hashes import M64, _np_fmix64, xxh3_u64
 from .params import SHINGLE_POLY_BASE, SketchParams
+
+tune_malloc()
 
 _U64 = np.uint64
 

@@ -1,0 +1,168 @@
+"""Checkpointed, resumable pipeline with per-partition lineage metrics.
+
+north_rule: "resumable from checkpoint with per-partition lineage +
+metrics". Each stage materializes to a parquet table under the
+checkpoint root (production target: Iceberg tables — same layout, the
+writes here are the format-agnostic equivalent):
+
+    root/
+      params.json            frozen SketchParams for the whole run
+      sketches/   membership/   pairs/   clusters/     (stage tables)
+      metrics/<stage>.jsonl  per-stage row counts, per-partition rows,
+                             wall_ms, completion marker
+
+Resume contract:
+- a stage directory with Spark's ``_SUCCESS`` marker AND matching
+  ``params.json`` is reused as-is (idempotent restart mid-pipeline);
+- a params mismatch is an ERROR, mirroring the reference's refusal to
+  compare sketches with unequal k/fscale
+  (``/root/reference/src/compare.rs:106-112,267-288``);
+- the sketch stage additionally supports *incremental* input: new pages
+  (left_anti on already-sketched urls) are sketched and appended.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cluster import connected_components
+from .params import SketchParams
+from .pipeline import pairs_stage, sketch_stage
+
+STAGES = ("sketches", "membership", "pairs", "clusters")
+
+
+class CheckpointedDedup:
+    def __init__(self, spark: SparkSession, root: str, params: SketchParams):
+        self.spark = spark
+        self.root = root
+        self.params = params
+        os.makedirs(root, exist_ok=True)
+        os.makedirs(os.path.join(root, "metrics"), exist_ok=True)
+        pfile = os.path.join(root, "params.json")
+        if os.path.exists(pfile):
+            existing = SketchParams.from_json(open(pfile).read())
+            # config-compatibility contract: never mix sketch configs
+            existing.assert_compatible(params)
+            if existing != params:
+                raise ValueError(
+                    f"checkpoint at {root} was produced with {existing}, "
+                    f"refusing to resume with {params}"
+                )
+        else:
+            with open(pfile, "w") as f:
+                f.write(params.to_json())
+
+    # ---------------------------------------------------------- helpers
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def _write(self, df: DataFrame, stage: str) -> DataFrame:
+        t0 = time.time()
+        path = self._path(stage)
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.parquet(path)
+        per_part = [
+            {"partition_id": r["pid"], "rows": r["count"]}
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        ]
+        total = sum(p["rows"] for p in per_part)
+        with open(os.path.join(self.root, "metrics", f"{stage}.jsonl"), "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "rows": total,
+                        "partitions": per_part,
+                        "wall_ms": int((time.time() - t0) * 1000),
+                        "params": self.params.to_json(),
+                    }
+                )
+                + "\n"
+            )
+        return out
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    # ----------------------------------------------------------- stages
+    def run_sketches(self, pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+        if self._done("sketches") and self._done("membership"):
+            existing = self._read("sketches")
+            membership = self._read("membership")
+            # incremental resume: sketch only urls not seen yet
+            new_pages = pages.join(
+                membership.select("url"), "url", "left_anti"
+            )
+            if new_pages.limit(1).count() == 0:
+                return existing, membership
+            sk_new, mem_new = sketch_stage(new_pages, self.params)
+            sk_new.write.mode("append").parquet(self._path("sketches"))
+            mem_new.write.mode("append").parquet(self._path("membership"))
+            return self._read("sketches"), self._read("membership")
+        sketches, membership = sketch_stage(pages, self.params)
+        out_m = self._write(membership, "membership")
+        out_s = self._write(sketches, "sketches")
+        return out_s, out_m
+
+    def run_pairs(self, sketches: DataFrame) -> DataFrame:
+        if self._done("pairs"):
+            return self._read("pairs")
+        return self._write(pairs_stage(sketches, self.params), "pairs")
+
+    def run_clusters(self, pairs: DataFrame, membership: DataFrame) -> DataFrame:
+        if self._done("clusters"):
+            return self._read("clusters")
+        rep_nodes = membership.select(F.col("rep_url").alias("url")).distinct()
+        rep_clusters = connected_components(pairs, rep_nodes)
+        clusters = membership.join(
+            rep_clusters.withColumnRenamed("url", "rep_url"), "rep_url"
+        ).select("url", "cluster_id")
+        return self._write(clusters, "clusters")
+
+    # ------------------------------------------------------------ runs
+    def run(self, pages: DataFrame, stop_after: str | None = None) -> DataFrame:
+        """Run (or resume) the full pipeline. ``stop_after`` simulates a
+        mid-pipeline crash for resume tests."""
+        sketches, membership = self.run_sketches(pages)
+        if stop_after == "sketches":
+            return sketches
+        pairs = self.run_pairs(sketches)
+        if stop_after == "pairs":
+            return pairs
+        return self.run_clusters(pairs, membership)
+
+    def metrics(self) -> list[dict]:
+        out = []
+        mdir = os.path.join(self.root, "metrics")
+        for fn in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, fn)) as f:
+                out.extend(json.loads(line) for line in f if line.strip())
+        return out
+
+    def stats(self) -> dict:
+        """jam-rs ``stats`` analogue (src/heed.rs:57-76): summary counts
+        of the checkpointed tables."""
+        s: dict = {"root": self.root, "params": self.params.to_json()}
+        if self._done("sketches"):
+            sk = self._read("sketches")
+            s["n_sketches"] = sk.count()
+            s["n_hashes"] = sk.agg(F.sum("num_hashes")).collect()[0][0]
+        if self._done("membership"):
+            s["n_pages"] = self._read("membership").count()
+        if self._done("pairs"):
+            s["n_pairs"] = self._read("pairs").count()
+        if self._done("clusters"):
+            cl = self._read("clusters")
+            s["n_clusters"] = cl.select("cluster_id").distinct().count()
+        return s

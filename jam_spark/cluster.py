@@ -41,10 +41,16 @@ def connected_components(
     distributed. Both produce identical labels (min member id).
     """
     e0 = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # persist: the edge set is consumed by the size probe and then either
+    # collected (driver path) or iterated (distributed path) — without
+    # persistence the whole upstream pairs pipeline would recompute
+    e0 = e0.persist()
     n_edges = e0.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
-        return _cc_driver(e0, nodes)
-    return _cc_distributed(e0, nodes, max_iter)
+        out = _cc_driver(e0, nodes)
+    else:
+        out = _cc_distributed(e0, nodes, max_iter)
+    return out
 
 
 def _cc_driver(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
@@ -62,7 +68,9 @@ def _cc_driver(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in e0.toLocalIterator():
+    # collect() is one job; toLocalIterator would serialize one job per
+    # partition and dominate wall time at high parallelism
+    for row in e0.collect():
         a, b = row["src"], row["dst"]
         ra, rb = find(a), find(b)
         if ra != rb:

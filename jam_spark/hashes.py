@@ -387,18 +387,28 @@ _PRIME_MX2_U = _U64(PRIME_MX2)
 def xxh3_u64_np(kmer: np.ndarray) -> np.ndarray:
     """Vectorized reference ``xxhash3_u64`` (xxh3 of the 8 BE bytes,
     i.e. the 4-8 byte path of XXH3 with seed 0); bit-equal to
-    :func:`xxh3_u64`."""
+    :func:`xxh3_u64`. In-place ops: minimal temporaries so the pandas-UDF
+    hot loop stays allocation-light under many parallel workers."""
     k = np.asarray(kmer, dtype=_U64)
     # big-endian byte image read as two little-endian u32s
     in1 = _np_swap32(k >> _U64(32))  # bytes [0..4)
-    in2 = _np_swap32(k)  # bytes [4..8)
-    input64 = in2 + (in1 << _U64(32))
-    h = input64 ^ _XXH3_48_BITFLIP
-    h = h ^ (_np_rotl(h, 49) ^ _np_rotl(h, 24))
-    h = h * _PRIME_MX2_U
-    h = h ^ ((h >> _U64(35)) + _U64(8))
-    h = h * _PRIME_MX2_U
-    h = h ^ (h >> _U64(28))
+    h = _np_swap32(k)  # bytes [4..8)
+    in1 <<= _U64(32)
+    h += in1
+    h ^= _XXH3_48_BITFLIP
+    t = h << _U64(49)
+    t |= h >> _U64(15)  # rotl 49
+    np.left_shift(h, _U64(24), out=in1)
+    in1 |= h >> _U64(40)  # rotl 24
+    t ^= in1
+    h ^= t
+    h *= _PRIME_MX2_U
+    np.right_shift(h, _U64(35), out=t)
+    t += _U64(8)
+    h ^= t
+    h *= _PRIME_MX2_U
+    np.right_shift(h, _U64(28), out=t)
+    h ^= t
     return h
 
 

@@ -59,17 +59,26 @@ def sketch_stage(
     if dedup_exact_first:
         groups = exact_groups(pages)
         membership = groups.select("url", "rep_url")
+        # the url-keyed shuffle join IS the partitioning for the UDF — no
+        # second repartition of the heavy text column. SHUFFLE_HASH: a
+        # sort-merge join would SORT the text rows (dominates the stage);
+        # hash join needs only the small rep-url side in memory per task.
         reps = (
             pages.join(
-                groups.filter(F.col("url") == F.col("rep_url")).select("url"),
+                groups.filter(F.col("url") == F.col("rep_url"))
+                .select("url")
+                .hint("SHUFFLE_HASH"),
                 "url",
             )
         )
     else:
         membership = pages.select("url", F.col("url").alias("rep_url"))
-        reps = pages
-    n_partitions = n_partitions or pages.sparkSession.sparkContext.defaultParallelism
-    sketches = reps.repartition(n_partitions, "url").select(
+        n_partitions = (
+            n_partitions
+            or pages.sparkSession.sparkContext.defaultParallelism
+        )
+        reps = pages.repartition(n_partitions, "url")
+    sketches = reps.select(
         "url", sketch_udf(F.col("text")).alias("sketch")
     ).withColumn("num_hashes", F.size("sketch"))
     return sketches, membership
@@ -85,6 +94,7 @@ def pairs_stage(
     without persistence the signature UDF would be recomputed 4x.
     """
     bands = bands_table(sketches, params).persist()
+    bands.count()  # eager: 3 consumers below would race the cold cache
     bands = thin_hot_bands(bands, params)
     cands = candidate_pairs(bands)
     return verify_pairs(cands, sketches, params, broadcast_sketches)
@@ -114,8 +124,11 @@ def dedup_pipeline(
     """Full pipeline: pages → (url, cluster_id)."""
     params = params or SketchParams()
     sketches, membership = sketch_stage(pages, params, dedup_exact_first)
-    # sketches feed the band UDF and both sides of the verify join —
-    # persist so the expensive sketch UDF runs exactly once
+    # sketches feed the band UDF and both sides of the verify join;
+    # membership feeds rep_nodes and the final label join — persist both
+    # so the sketch UDF and the exact-group shuffle run exactly once
     sketches = sketches.persist()
+    sketches.count()  # eager: bands + both verify joins consume it
+    membership = membership.persist()
     pairs = pairs_stage(sketches, params, broadcast_sketches)
     return cluster_stage(pairs, membership)

@@ -12,6 +12,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    """Shuffle/spill dir: prefer tmpfs — on a real cluster this is the
+    node's local SSD; the sandbox's ext4 root would serialize shuffle I/O."""
+    for cand in ("/dev/shm", "/tmp"):
+        if os.path.isdir(cand) and os.access(cand, os.W_OK):
+            d = os.path.join(cand, "jam-spark-local")
+            os.makedirs(d, exist_ok=True)
+            return d
+    return "/tmp"
+
+
 def get_spark(
     app: str = "jam_spark",
     cores: int | None = None,
@@ -32,6 +43,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.local.dir", _local_dir())
         .getOrCreate()
     )
     from .deploy import ensure_shipped

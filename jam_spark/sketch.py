@@ -24,6 +24,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 
+from ._malloc import tune_malloc
 from .hashes import (
     M64,
     ahash_u64_np,
@@ -33,6 +34,8 @@ from .hashes import (
 )
 from .normalize import tokenize
 from .params import SHINGLE_POLY_BASE, SketchParams
+
+tune_malloc()
 
 _U64 = np.uint64
 
@@ -64,19 +67,28 @@ def shingle_hashes_flat(
     lies fully inside one doc.
     """
     n = len(token_hashes)
-    if n == 0 or k <= 0:
+    if n == 0 or k <= 0 or n < k:
         return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
-    # prefix method: A_j = t_j * P^{-j}; C = cumsum(A);
-    # window [i, i+k) value = (C[i+k-1] - C[i-1]) * P^{i+k-1}
-    pinv = _powers(_POLY_INV, n)
-    pfwd = _powers(SHINGLE_POLY_BASE, n)
-    a = token_hashes * pinv
-    c = np.cumsum(a, dtype=_U64)
-    if n < k:
-        return np.empty(0, dtype=_U64), np.empty(0, dtype=np.int64)
-    hi = c[k - 1 :]  # C[i+k-1] for i = 0..n-k
-    lo = np.concatenate(([_U64(0)], c[: n - k]))  # C[i-1], C[-1] := 0
-    vals = (hi - lo) * pfwd[k - 1 :]
+    base = _U64(SHINGLE_POLY_BASE)
+    if k <= 32:
+        # direct Horner evaluation: k-1 fused multiply-adds over shifted
+        # views — O(k·n) but allocation-light (2 temporaries), which beats
+        # the O(n) prefix method under many-worker memory contention
+        m = n - k + 1
+        vals = token_hashes[:m].copy()
+        for j in range(1, k):
+            vals *= base
+            vals += token_hashes[j : j + m]
+    else:
+        # prefix method: A_j = t_j * P^{-j}; C = cumsum(A);
+        # window [i, i+k) value = (C[i+k-1] - C[i-1]) * P^{i+k-1}
+        pinv = _powers(_POLY_INV, n)
+        pfwd = _powers(SHINGLE_POLY_BASE, n)
+        a = token_hashes * pinv
+        c = np.cumsum(a, dtype=_U64)
+        hi = c[k - 1 :]
+        lo = np.concatenate(([_U64(0)], c[: n - k]))
+        vals = (hi - lo) * pfwd[k - 1 :]
     # window start doc & validity: window fully inside one doc
     starts = np.arange(n - k + 1, dtype=np.int64)
     win_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
