@@ -78,7 +78,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     verified vs the pure-Python oracle in pytest) ---
         "minhash_sketches": q(lambda s, d: dedup.minhash_sketches(_docs(s, d))),
         "minhash_pairs": q(lambda s, d: dedup.minhash_pairs(_docs(s, d))),
+        "minhash_pairs_allpairs": q(
+            lambda s, d: dedup.minhash_pairs_allpairs(_docs(s, d))
+        ),
         "minhash_clusters": q(lambda s, d: dedup.minhash_clusters(_docs(s, d))),
+        "minhash_merge_by_source": q(
+            lambda s, d: dedup.minhash_merge_by_source(_docs(s, d))
+        ),
         # --- similarity search ---
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embs(s, d))),
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),

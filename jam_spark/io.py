@@ -1,0 +1,124 @@
+"""Interop sources/sinks mirroring the reference's I/O surface:
+
+- sourmash-style JSON signature export/import (W2/W3:
+  ``/root/reference/src/file_io.rs:181-197,316-323``,
+  ``src/sketch.rs:26-34``, ``src/signature.rs:15-103``) — debug/interop
+  format; hashes serialize as unsigned u64 ints in sorted ``mins`` order.
+- TSV compare-result sink (W4: ``src/file_io.rs:406-413``,
+  ``src/compare.rs:38-63``): ``from\\tto\\tnum_common\\tnum_kmers\\tscore``
+  with the reverse flag swapping the name order, larger sketch first.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .params import M64, SketchParams
+
+
+def export_sourmash_json(
+    sketches: DataFrame, params: SketchParams, path: str
+) -> None:
+    """One JSON object per line: {name, ksize, max_hash, num, mins}.
+
+    ``mins`` are unsigned u64s sorted ascending — byte-compatible with the
+    reference's sourmash conversion (src/sketch.rs:26-34: sorted BTreeSet
+    iteration; src/signature.rs:15-31: ksize/max_hash envelope).
+    """
+    k, max_hash = params.k, params.max_hash
+
+    def _to_json(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = []
+            for name, sk in zip(pdf["url"], pdf["sketch"]):
+                mins = (
+                    np.asarray(sk, dtype=np.int64).view(np.uint64).tolist()
+                    if sk is not None and len(sk)
+                    else []
+                )
+                lines.append(
+                    json.dumps(
+                        {
+                            "name": name,
+                            "ksize": k,
+                            "max_hash": max_hash,
+                            "num": len(mins),
+                            "mins": mins,
+                        },
+                        sort_keys=True,
+                    )
+                )
+            yield pd.DataFrame({"value": lines})
+
+    sketches.select("url", "sketch").mapInPandas(
+        _to_json, schema="value string"
+    ).write.mode("overwrite").text(path)
+
+
+def read_sourmash_json(
+    spark: SparkSession, path: str, expected: SketchParams | None = None
+) -> DataFrame:
+    """Parse signatures back to (url, sketch, num_hashes). Asserts uniform
+    ksize/max_hash across records and against ``expected`` — the
+    reference's import validation (src/signature.rs:41-55)."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, sketches, nums, ks, mhs = [], [], [], [], []
+            for line in pdf["value"]:
+                d = json.loads(line)
+                urls.append(d["name"])
+                arr = np.array(d["mins"], dtype=np.uint64).view(np.int64)
+                sketches.append(arr)
+                nums.append(len(arr))
+                ks.append(d["ksize"])
+                mhs.append(d["max_hash"])
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "sketch": sketches,
+                    "num_hashes": pd.array(nums, dtype="int32"),
+                    "ksize": pd.array(ks, dtype="int32"),
+                    "max_hash_str": [str(m) for m in mhs],
+                }
+            )
+
+    raw = spark.read.text(path).mapInPandas(
+        _parse,
+        schema="url string, sketch array<long>, num_hashes int, ksize int, max_hash_str string",
+    )
+    distinct_cfg = raw.select("ksize", "max_hash_str").distinct().collect()
+    if len(distinct_cfg) > 1:
+        raise ValueError(f"Mixed sketch configs in {path}: {distinct_cfg}")
+    if expected is not None and distinct_cfg:
+        row = distinct_cfg[0]
+        if row["ksize"] != expected.k or int(row["max_hash_str"]) != expected.max_hash:
+            raise ValueError(
+                f"Signature config (k={row['ksize']}, max_hash={row['max_hash_str']}) "
+                f"does not match expected (k={expected.k}, max_hash={expected.max_hash})"
+            )
+    return raw.select("url", "sketch", "num_hashes")
+
+
+def write_pairs_tsv(pairs: DataFrame, path: str) -> None:
+    """Reference TSV sink: larger sketch first (reverse swaps the order,
+    src/compare.rs:53-62), sorted by score descending (C7,
+    src/main.rs:104)."""
+    cols = pairs.columns
+    rev = F.col("reverse") if "reverse" in cols else F.lit(False)
+    out = pairs.select(
+        F.when(rev, F.col("id_b")).otherwise(F.col("id_a")).alias("from"),
+        F.when(rev, F.col("id_a")).otherwise(F.col("id_b")).alias("to"),
+        "num_common",
+        "num_kmers",
+        F.col("similarity").alias("estimated_containment"),
+    ).orderBy(F.col("estimated_containment").desc())
+    out.write.mode("overwrite").option("sep", "\t").option(
+        "header", True
+    ).csv(path)

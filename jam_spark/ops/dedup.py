@@ -259,6 +259,46 @@ def minhash_pairs(documents: DataFrame, params: SketchParams | None = None) -> D
     )
 
 
+def minhash_pairs_allpairs(
+    documents: DataFrame, params: SketchParams | None = None
+) -> DataFrame:
+    """C4 exhaustive mode with the all-pairs scorer (max-denominator ×
+    coverage fraction, src/compare.rs:171,205-227); cutoff lowered so the
+    two scorer conventions are distinguishable in output."""
+    from ..pairs import all_pairs_compare
+
+    params = (params or SketchParams()).with_(scorer="allpairs", cutoff=30.0)
+    sketches, _ = sketch_stage(documents_as_pages(documents), params)
+    p = all_pairs_compare(sketches.persist(), params)
+    return p.select(
+        F.col("id_a").cast("long").alias("doc_a"),
+        F.col("id_b").cast("long").alias("doc_b"),
+        F.col("num_common").cast("long"),
+        F.col("num_kmers").cast("long"),
+        "similarity",
+    )
+
+
+def minhash_merge_by_source(
+    documents: DataFrame, params: SketchParams | None = None
+) -> DataFrame:
+    """A2 sketch merge: union the per-doc sketches of each ``source``
+    group (FracMinHash merge, src/signature.rs:106-113)."""
+    from ..sketch import merge_sketches
+
+    params = params or SketchParams()
+    pages = documents.select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        "text",
+        "source",
+    )
+    sketches, _ = sketch_stage(pages, params, dedup_exact_first=False)
+    joined = sketches.join(pages.select("url", "source"), "url")
+    return merge_sketches(joined, "source", params).select(
+        "source", F.col("num_hashes").cast("long"), F.col("n_members").cast("long")
+    )
+
+
 def minhash_clusters(documents: DataFrame, params: SketchParams | None = None) -> DataFrame:
     params = params or SketchParams()
     out = dedup_pipeline(documents_as_pages(documents), params)

@@ -138,7 +138,24 @@ def verify_pairs(
             F.col("num_common") / F.col("num_kmers") * F.lit(100.0),
         ).otherwise(F.lit(0.0)),
     )
+    # C2 orientation: reverse=true when id_b is the larger sketch (the
+    # reference prints larger-first and tracks the swap,
+    # src/compare.rs:146-163)
+    j = j.withColumn("reverse", F.col("n_a") < F.col("n_b"))
     return (
         j.filter(F.col("similarity") > F.lit(params.cutoff))  # strict >
-        .select("id_a", "id_b", "num_common", "num_kmers", "similarity")
+        .select("id_a", "id_b", "num_common", "num_kmers", "similarity", "reverse")
     )
+
+
+def all_pairs_compare(
+    sketches: DataFrame, params: SketchParams
+) -> DataFrame:
+    """C4: the reference's exhaustive all-pairs comparison
+    (``src/compare.rs:96-127``) — a cartesian candidate set fed through
+    the same verify/score path. O(n²): for parity testing and small
+    inputs only; the LSH path is the scale route."""
+    a = sketches.select(F.col("url").alias("id_a"))
+    b = sketches.select(F.col("url").alias("id_b"))
+    cands = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return verify_pairs(cands, sketches, params)

@@ -166,6 +166,47 @@ def sketch_arrays(texts: Iterable[str], params: SketchParams) -> list[np.ndarray
     return [h[off[d] : off[d + 1]] for d in range(len(off) - 1)]
 
 
+def merge_sketches(
+    sketches, group_col: str, params: SketchParams, id_col: str = "url"
+):
+    """A2: sketch merge/union per group — FracMinHash sketches are
+    mergeable by construction (keep-below-threshold commutes with union,
+    reference ``src/signature.rs:106-113``): hashes set-union (bottom-nmax
+    re-capped), num_kmers = retained count (fresh-sketch convention).
+
+    Returns (group_col, sketch, num_hashes, n_members).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    nmax = params.nmax
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        arrs = [
+            np.asarray(s, dtype=np.int64).view(_U64)
+            for s in pdf["sketch"]
+            if s is not None and len(s)
+        ]
+        merged = (
+            np.unique(np.concatenate(arrs)) if arrs else np.empty(0, dtype=_U64)
+        )
+        if nmax is not None:
+            merged = merged[:nmax]
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "sketch": [merged.view(np.int64)],
+                "num_hashes": [len(merged)],
+                "n_members": [len(pdf)],
+            }
+        )
+
+    return sketches.groupBy(group_col).applyInPandas(
+        _merge,
+        schema=f"{group_col} string, sketch array<long>, num_hashes long, n_members long",
+    )
+
+
 def make_sketch_udf(params: SketchParams):
     """pandas UDF: text → array<long> sketch (i64 bit view of the sorted
     unsigned u64 hashes). Register on a column with

@@ -30,6 +30,17 @@ def test_queries_oracle_keys_consistent():
     assert len(q) >= 14
 
 
+def test_all_queries_smoke(spark):
+    """Every queries() entry runs at sf0.001 and returns a well-formed
+    DataFrame (what the driver's t1 smoke exercises per query)."""
+    sf_dir = "/root/testdata/sf0.001"
+    for name, fn in E.queries().items():
+        df = fn(spark, sf_dir)
+        rows = df.limit(5).collect()
+        assert df.columns, name
+        assert rows is not None, name
+
+
 @pytest.mark.parametrize("name", ["token_counts", "exact_dedup_groups", "lang_id"])
 def test_sampled_parity_vs_duckdb(spark, name):
     sf_dir = "/root/testdata/sf0.001"

@@ -29,7 +29,11 @@ def child(cores: int, corpus: str) -> None:
     from jam_spark.pipeline import cluster_stage, pairs_stage, sketch_stage
     from jam_spark.session import get_spark
 
-    spark = get_spark(app=f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+    # shuffle partitions at 2x cores: balances the CPU-bound UDF stages
+    # and keeps per-partition text under executor memory at scale
+    spark = get_spark(
+        app=f"scaling_{cores}", cores=cores, shuffle_partitions=2 * cores
+    )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(corpus).select("url", "text")
     n_docs = pages.count()
