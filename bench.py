@@ -32,16 +32,25 @@ def _bench_corpus_path() -> str:
     os.makedirs(cache, exist_ok=True)
     path = os.path.join(cache, f"pages_{BENCH_PAGES}.parquet")
     if not os.path.exists(path):
-        from jam_spark.corpus import generate_pages, pages_to_pandas
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        pdf = pages_to_pandas(generate_pages(n_docs=BENCH_PAGES, seed=42))
+        if BENCH_PAGES > 100_000:
+            from jam_spark.corpus import fast_corpus_pandas
+
+            pdf = fast_corpus_pandas(BENCH_PAGES, seed=42)
+        else:
+            from jam_spark.corpus import generate_pages, pages_to_pandas
+
+            pdf = pages_to_pandas(generate_pages(n_docs=BENCH_PAGES, seed=42))
         # pyarrow defaults to ns timestamps, which Spark's parquet reader
-        # rejects; the bench only needs (url, text, lang) anyway
+        # rejects; the bench only needs (url, text, lang) anyway.
+        # row_group_size: Spark cannot split WITHIN a parquet row group —
+        # the default (1M rows) would make the whole corpus one serial scan
         pq.write_table(
-            pa.Table.from_pandas(pdf[["url", "text", "lang"]]), path
+            pa.Table.from_pandas(pdf[["url", "text", "lang"]]),
+            path,
+            row_group_size=4096,
         )
     return path
 

@@ -54,39 +54,56 @@ def connected_components(
 
 
 def _cc_driver(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
-    """Collect edges (NOT the corpus) to the driver, union-find, join
-    labels back. Only multi-member clusters need a labels row — nodes
-    absent from the (broadcast) label map are singletons of themselves."""
+    """Collect edges (NOT the corpus) to the driver via Arrow, integer
+    union-find over factorized ids, broadcast the labels back. Only
+    multi-member clusters need a labels row — nodes absent from the label
+    map are singletons of themselves."""
+    import numpy as np
+    import pandas as pd
+
     spark = e0.sparkSession
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    # collect() is one job; toLocalIterator would serialize one job per
-    # partition and dominate wall time at high parallelism
-    for row in e0.collect():
-        a, b = row["src"], row["dst"]
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    labels = [(x, find(x)) for x in list(parent)]
+    pdf = e0.toPandas()  # Arrow path: ~seconds for millions of edges
     if nodes is None:
         universe = e0.select(F.col("src").alias("url")).union(
             e0.select(F.col("dst").alias("url"))
         ).distinct()
     else:
         universe = nodes.select(F.col(nodes.columns[0]).alias("url")).distinct()
-    if not labels:
+    if not len(pdf):
         return universe.select("url", F.col("url").alias("cluster_id"))
-    lab_df = spark.createDataFrame(labels, ["url", "label"])
+
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    )
+    m = len(pdf)
+    n = len(uniques)
+    src_c = codes[:m]
+    dst_c = codes[m:]
+    uniq = np.asarray(uniques, dtype=object)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != x:
+            nxt = parent[x]
+            parent[x] = r
+            x = nxt
+        return r
+
+    for a, b in zip(src_c, dst_c):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root = member with the lexicographically smaller url
+            if uniq[rb] < uniq[ra]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    lab_df = spark.createDataFrame(
+        pd.DataFrame({"url": uniq, "label": uniq[roots]})
+    )
     return (
         universe.join(F.broadcast(lab_df), "url", "left")
         .select(

@@ -151,6 +151,46 @@ def generate_pages(n_docs: int = 5000, seed: int = 42) -> list[Page]:
     return pages
 
 
+def fast_corpus_pandas(n_docs: int, seed: int = 42, dup_rate: float = 0.3):
+    """Vectorized (numpy) corpus generator for BENCHMARKS: same pages
+    shape and a planted exact+near duplicate structure, but generated
+    ~100x faster than :func:`generate_pages` (which stays the
+    ground-truth-bearing generator for correctness tests).
+
+    ``dup_rate`` of docs are near-duplicates of an earlier doc (a few
+    words substituted); an additional 10% are exact duplicates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    vocab = np.array(_vocab(random.Random(seed)))
+    lens = rng.randint(50, 1200, size=n_docs)
+    texts: list[str] = []
+    for i in range(n_docs):
+        r = rng.rand()
+        if i > 10 and r < dup_rate:  # near-dup of a recent doc
+            base = texts[i - rng.randint(1, 10)]
+            words = base.split()
+            n_edit = max(1, len(words) // 30)
+            idx = rng.randint(0, len(words), size=n_edit)
+            for j, w in zip(idx, vocab[rng.randint(0, len(vocab), size=n_edit)]):
+                words[j] = w
+            texts.append(" ".join(words))
+        elif i > 10 and r < dup_rate + 0.1:  # exact dup
+            texts.append(texts[i - rng.randint(1, 10)])
+        else:
+            words = vocab[rng.randint(0, len(vocab), size=lens[i])]
+            texts.append(" ".join(words))
+    return pd.DataFrame(
+        {
+            "url": [f"https://site{i % 97}.example/p/{i}" for i in range(n_docs)],
+            "text": texts,
+            "lang": [_LANGS[i % len(_LANGS)] for i in range(n_docs)],
+        }
+    )
+
+
 def pages_to_pandas(pages: list[Page]):
     import pandas as pd
 

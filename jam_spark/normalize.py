@@ -26,7 +26,13 @@ import unicodedata
 
 
 def normalize_text(text: str) -> str:
-    """NFC + lowercase. Step 1-2 of the frozen spec."""
+    """NFC + lowercase. Step 1-2 of the frozen spec.
+
+    NFC is the identity on pure-ASCII strings — ``str.isascii`` is a
+    cheap C scan, and most web-text tokens are ASCII, so skipping the
+    normalize call is a pure optimization with identical output."""
+    if text.isascii():
+        return text.lower()
     return unicodedata.normalize("NFC", text).lower()
 
 

@@ -42,10 +42,18 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
 
     Scale-safe: sizes come from a partial-aggregated count (no window sort
     over the hot key); only the (few) hot band keys are broadcast back.
-    Members are kept iff ``xxhash64(id) % ceil(size/cap) == 0`` —
-    deterministic, restart-stable, and preserving ~cap members per hot
-    band. Near-identical docs collide in many of the ``bands`` bands, so
-    thinning one band barely affects recall (measured in tests).
+    A member survives band b iff ``xxhash64(id) % mod == b % mod`` with
+    ``mod = ceil(size/cap)`` — a per-band ROTATION of survivor subsets,
+    so each doc of a hot cluster keeps ≈ bands/mod of its bands
+    (guaranteed ≥ 1 while mod ≤ bands) instead of either keeping all or
+    losing all. Each surviving bucket has ≈ cap members, bounding the
+    candidate blowup of an m-doc boilerplate cluster at
+    O(bands × cap²) pairs — independent of m.
+
+    Limit (documented): a NEAR-dup cluster wider than bands × cap may
+    fragment (mod > bands leaves some docs with zero bands). True mirror
+    pages are exact dups and never reach this stage (pre-group); raise
+    band_cap if near-identical clusters beyond that size matter.
     """
     if not params.band_cap:
         return bands
@@ -61,7 +69,10 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
     )
     return joined.filter(
         F.col("thin_mod").isNull()
-        | (F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod")) == 0)
+        | (
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod"))
+            == F.pmod(F.col("band_id").cast("long"), F.col("thin_mod"))
+        )
     ).drop("thin_mod")
 
 

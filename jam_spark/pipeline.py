@@ -57,7 +57,10 @@ def sketch_stage(
     """
     sketch_udf = make_sketch_udf(params)
     if dedup_exact_first:
-        groups = exact_groups(pages)
+        # persist the (url, text_fp, rep_url) relation: it feeds the rep
+        # filter, the membership projection, rep_nodes, and the final
+        # label join — uncached, each would rescan + re-md5 the full text
+        groups = exact_groups(pages).persist()
         membership = groups.select("url", "rep_url")
         # the url-keyed shuffle join IS the partitioning for the UDF — no
         # second repartition of the heavy text column. SHUFFLE_HASH: a

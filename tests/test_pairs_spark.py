@@ -82,8 +82,8 @@ def test_hot_band_thinning_caps_postings(spark, pages_df):
 
     params = SketchParams(band_cap=8)
     sketches, _ = sketch_stage(pages_df, params)
-    bands = bands_table(sketches, params)
-    thinned = thin_hot_bands(bands, params)
+    bands = bands_table(sketches, params).persist()
+    thinned = thin_hot_bands(bands, params).persist()
     sizes = (
         thinned.groupBy("band_id", "band_hash")
         .count()
@@ -93,3 +93,28 @@ def test_hot_band_thinning_caps_postings(spark, pages_df):
     # thinning keeps ~cap members (probabilistic mod filter: allow 3x slack)
     assert sizes <= 3 * params.band_cap
     assert thinned.count() < bands.count()  # the hot template got thinned
+    # per-band rotation: every doc that had bands must KEEP at least one
+    # (losing all bands would exile it from its cluster)
+    before = {r["url"] for r in bands.select("url").distinct().collect()}
+    after = {r["url"] for r in thinned.select("url").distinct().collect()}
+    assert before == after
+
+
+def test_hot_cluster_survives_aggressive_thinning(spark, corpus_pages, pages_df):
+    """With a tiny band_cap the giant near-identical template cluster must
+    still close into ONE connected component (the per-band survivor
+    rotation keeps every member reachable)."""
+    from jam_spark.pipeline import dedup_pipeline
+
+    params = SketchParams(band_cap=8)
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pipeline(pages_df, params).collect()
+    }
+    truth = {}
+    for p in corpus_pages:
+        truth.setdefault(p.cluster_id, set()).add(p.url)
+    template_cluster = max(truth.values(), key=len)
+    assert len(template_cluster) >= 100
+    labels = {got[u] for u in template_cluster}
+    assert len(labels) == 1, f"template cluster fragmented into {len(labels)}"
