@@ -20,13 +20,18 @@ def tune_malloc() -> None:
     if _done:
         return
     _done = True
+    import os
+
+    if os.environ.get("JAM_NO_MALLOPT"):
+        return
     try:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
         M_MMAP_THRESHOLD = -3
-        M_TRIM_THRESHOLD = -1
-        libc.mallopt(ctypes.c_int(M_MMAP_THRESHOLD), ctypes.c_int(1 << 30))
-        libc.mallopt(ctypes.c_int(M_TRIM_THRESHOLD), ctypes.c_int(1 << 30))
+        # 64 MiB: large enough that per-batch numpy temporaries (a few MB)
+        # stay in the reusable heap arena, small enough that the arena
+        # cannot grow/fragment without bound across a long worker life.
+        libc.mallopt(ctypes.c_int(M_MMAP_THRESHOLD), ctypes.c_int(64 << 20))
     except Exception:
         pass

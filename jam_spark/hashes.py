@@ -482,25 +482,18 @@ def xxh3_64_short_np(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
     ``mat`` is an (n, >=16) uint8 matrix of zero-padded inputs; ``lengths``
     the true lengths. Bit-equal to :func:`xxh3_64` on each row.
+
+    Implementation reads each row as two little-endian u64 words and
+    derives the offset reads (len-4 / len-8) with per-element shifts —
+    no 2D index gathers, so temporaries stay O(n) words.
     """
     n = mat.shape[0]
     lengths = np.asarray(lengths, dtype=np.int64)
     out = np.zeros(n, dtype=_U64)
-    rows = np.arange(n)
-
-    le64 = mat[:, :16].copy()
-    # little-endian u64 reads at arbitrary offsets via gather
-    def r64(off: np.ndarray) -> np.ndarray:
-        idx = off[:, None] + np.arange(8)[None, :]
-        b = le64[rows[:, None], idx].astype(_U64)
-        sh = (np.arange(8, dtype=np.uint64) * _U64(8))[None, :]
-        return (b << sh).sum(axis=1, dtype=_U64)
-
-    def r32(off: np.ndarray) -> np.ndarray:
-        idx = off[:, None] + np.arange(4)[None, :]
-        b = le64[rows[:, None], idx].astype(_U64)
-        sh = (np.arange(4, dtype=np.uint64) * _U64(8))[None, :]
-        return (b << sh).sum(axis=1, dtype=_U64)
+    sub16 = np.ascontiguousarray(mat[:, :16])
+    w = sub16.view("<u8")
+    w0 = w[:, 0]
+    w1 = w[:, 1]
 
     m0 = lengths == 0
     if m0.any():
@@ -524,26 +517,34 @@ def xxh3_64_short_np(mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
     m48 = (lengths >= 4) & (lengths <= 8)
     if m48.any():
-        ln = lengths[m48]
-        off = np.where(m48)[0]
-        in1 = r32(np.zeros(n, dtype=np.int64))[off]
-        in2 = r32(np.maximum(lengths - 4, 0))[off]
+        ln = lengths[m48].astype(_U64)
+        lw0 = w0[m48]
+        in1 = lw0 & _U32MASK  # read32 at offset 0
+        sh = (ln - _U64(4)) * _U64(8)  # offset (len-4) ∈ [0,4] → sh ≤ 32
+        in2 = (lw0 >> sh) & _U32MASK
         input64 = in2 + (in1 << _U64(32))
         h = input64 ^ _XXH3_48_BITFLIP
         h = h ^ (_np_rotl(h, 49) ^ _np_rotl(h, 24))
         h = h * _PRIME_MX2_U
-        h = h ^ ((h >> _U64(35)) + ln.astype(_U64))
+        h = h ^ ((h >> _U64(35)) + ln)
         h = h * _PRIME_MX2_U
         out[m48] = h ^ (h >> _U64(28))
 
     m916 = (lengths >= 9) & (lengths <= 16)
     if m916.any():
-        ln = lengths[m916]
-        off = np.where(m916)[0]
-        lo = r64(np.zeros(n, dtype=np.int64))[off] ^ _B9_16_1
-        hi = r64(np.maximum(lengths - 8, 0))[off] ^ _B9_16_2
+        ln = lengths[m916].astype(_U64)
+        lw0 = w0[m916]
+        lw1 = w1[m916]
+        lo = lw0 ^ _B9_16_1
+        # read64 at offset (len-8) ∈ [1,8]: stitch across the two words;
+        # clamp the shift pair to stay < 64 and fix the off==8 rows after
+        sh = (ln - _U64(8)) * _U64(8)  # ∈ [8,64]
+        shc = np.minimum(sh, _U64(56))
+        hi_raw = (lw0 >> shc) | (lw1 << (_U64(64) - shc))
+        hi_raw = np.where(sh == _U64(64), lw1, hi_raw)
+        hi = hi_raw ^ _B9_16_2
         acc = (
-            ln.astype(_U64)
+            ln
             + _np_byteswap64(lo)
             + hi
             + _np_mul128_fold64(lo, hi)

@@ -30,9 +30,9 @@ from .hashes import (
     ahash_u64_np,
     hash_tokens,
     murmur3_u64_np,
+    xxh3_64_short_np,
     xxh3_u64_np,
 )
-from .normalize import tokenize
 from .params import SHINGLE_POLY_BASE, SketchParams
 
 tune_malloc()
@@ -96,6 +96,88 @@ def shingle_hashes_flat(
     return vals[valid], win_doc[valid]
 
 
+_ASCII_WS = np.zeros(256, dtype=bool)
+for _c in b" \t\n\r\x0b\x0c":
+    _ASCII_WS[_c] = True
+
+
+def _tokenize_hash_ascii(norm_texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Byte-level vectorized tokenize+hash for ASCII-only normalized
+    texts: one buffer, whitespace-run segmentation, gathered 16-byte
+    matrix through the vectorized short-input xxh3 (bit-equal to
+    ``xxh3_64(token)``); tokens >16 bytes take the scalar path.
+
+    Returns (token_hashes uint64, doc_offsets int64 len n+1) — identical
+    to the object-path tokenization, ~an order of magnitude cheaper (no
+    per-token str objects, no factorize).
+    """
+    n_docs = len(norm_texts)
+    buf = "\n".join(norm_texts).encode("ascii") if n_docs else b""
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    nb = len(arr)
+    # byte offset where each doc starts in the joined buffer
+    doc_byte_start = np.zeros(n_docs + 1, dtype=np.int64)
+    if n_docs:
+        lens = np.fromiter((len(s) for s in norm_texts), dtype=np.int64, count=n_docs)
+        np.cumsum(lens + 1, out=doc_byte_start[1:])  # +1 for the "\n" join
+    ws = _ASCII_WS[arr]
+    nonws = ~ws
+    # token starts: non-ws preceded by ws (or buffer start)
+    prev_ws = np.empty(nb, dtype=bool)
+    if nb:
+        prev_ws[0] = True
+        prev_ws[1:] = ws[:-1]
+    starts = np.where(nonws & prev_ws)[0]
+    next_ws = np.empty(nb, dtype=bool)
+    if nb:
+        next_ws[-1] = True
+        next_ws[:-1] = ws[1:]
+    ends = np.where(nonws & next_ws)[0] + 1
+    tok_len = ends - starts
+
+    # Hash tokens in CHUNKS with per-column fills: a single batch-wide
+    # (n_tokens, 16) int64 index gather would allocate ~1GB per batch —
+    # across 16+ workers that is an mmap/munmap + TLB-shootdown storm
+    # (kernel time dwarfs user time). Chunked, the working set stays a
+    # few MB and lives in the reused heap arena.
+    n_tok = len(starts)
+    hashes = np.zeros(n_tok, dtype=_U64)
+    long_idx: list[int] = []
+    CHUNK = 1 << 17
+    mat = np.zeros((min(CHUNK, max(n_tok, 1)), 16), dtype=np.uint8)
+    for c0 in range(0, n_tok, CHUNK):
+        c1 = min(c0 + CHUNK, n_tok)
+        m = c1 - c0
+        s_idx = starts[c0:c1]
+        l_idx = tok_len[c0:c1]
+        sub = mat[:m]
+        short = l_idx <= 16
+        cap = np.minimum(l_idx, 16)
+        limit = np.int64(max(nb - 1, 0))
+        for j in range(16):
+            # unclamped column gather (reads neighbor bytes past short
+            # tokens), then one masked zeroing pass — no boolean-indexed
+            # assignment in the loop
+            sub[:, j] = arr[np.minimum(s_idx + j, limit)]
+        sub *= np.arange(16, dtype=np.int64)[None, :] < cap[:, None]
+        h = xxh3_64_short_np(sub, np.where(short, l_idx, 0))
+        hashes[c0:c1] = np.where(short, h, _U64(0))
+        if not short.all():
+            long_idx.extend((c0 + np.where(~short)[0]).tolist())
+    if long_idx:
+        from .hashes import xxh3_64
+
+        for i in long_idx:
+            hashes[i] = xxh3_64(buf[starts[i] : ends[i]])
+
+    # token → doc mapping via the byte offsets
+    doc_of_tok = np.searchsorted(doc_byte_start, starts, side="right") - 1
+    doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    if len(doc_of_tok):
+        np.cumsum(np.bincount(doc_of_tok, minlength=n_docs), out=doc_offsets[1:])
+    return hashes, doc_offsets
+
+
 def sketch_batch(
     texts: Iterable[str], params: SketchParams
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -103,20 +185,32 @@ def sketch_batch(
 
     Returns (flat_hashes uint64 sorted per doc ascending-unsigned,
     offsets int64 len n_docs+1).
-    """
-    tok_lists = [tokenize(t) if t is not None else [] for t in texts]
-    n_docs = len(tok_lists)
-    doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum([len(t) for t in tok_lists], out=doc_offsets[1:])
 
-    # hash unique tokens once per batch (pandas factorize), then gather
-    flat_tokens = [t for toks in tok_lists for t in toks]
-    if flat_tokens:
-        codes, uniques = pd.factorize(pd.array(flat_tokens), use_na_sentinel=False)
-        uniq_hashes = hash_tokens([u.encode("utf-8") for u in uniques])
-        token_hashes = uniq_hashes[codes]
+    Fast path: if every normalized doc is pure ASCII, tokenization and
+    token hashing run fully vectorized at the byte level. Any non-ASCII
+    doc drops the batch to the object path (same results, slower).
+    """
+    from .normalize import normalize_text
+
+    texts = list(texts)
+    norm = [normalize_text(t) if t is not None else "" for t in texts]
+    if all(s.isascii() for s in norm):
+        token_hashes, doc_offsets = _tokenize_hash_ascii(norm)
+        n_docs = len(norm)
     else:
-        token_hashes = np.empty(0, dtype=_U64)
+        tok_lists = [s.split() for s in norm]
+        n_docs = len(tok_lists)
+        doc_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in tok_lists], out=doc_offsets[1:])
+        flat_tokens = [t for toks in tok_lists for t in toks]
+        if flat_tokens:
+            codes, uniques = pd.factorize(
+                pd.array(flat_tokens), use_na_sentinel=False
+            )
+            uniq_hashes = hash_tokens([u.encode("utf-8") for u in uniques])
+            token_hashes = uniq_hashes[codes]
+        else:
+            token_hashes = np.empty(0, dtype=_U64)
 
     vals, win_doc = shingle_hashes_flat(token_hashes, doc_offsets, params.k)
 
