@@ -34,7 +34,7 @@ from .cluster import connected_components
 from .params import SketchParams
 from .pipeline import pairs_stage, sketch_stage
 
-STAGES = ("sketches", "membership", "pairs", "clusters")
+STAGES = ("sketches", "membership", "bands", "pairs", "clusters")
 
 
 class CheckpointedDedup:
@@ -115,9 +115,34 @@ class CheckpointedDedup:
         out_s = self._write(sketches, "sketches")
         return out_s, out_m
 
-    def run_pairs(self, sketches: DataFrame) -> DataFrame:
+    def run_bands(self, sketches: DataFrame) -> DataFrame:
+        """Materialize the banded postings table — the persisted analogue
+        of the reference's LMDB inverted index (W1,
+        /root/reference/src/file_io.rs:198-310), with (band_id, band_hash)
+        generalizing the raw-hash key. Sorted within partitions on the
+        band key before write, mirroring the reference's sorted bulk load
+        (BTreeMap staging + APPEND_DUP) and giving parquet run-length
+        friendly pages."""
+        if self._done("bands"):
+            return self._read("bands")
+        from .pairs import bands_table, thin_hot_bands
+
+        bands = thin_hot_bands(bands_table(sketches, self.params), self.params)
+        bands = bands.repartition("band_id", "band_hash").sortWithinPartitions(
+            "band_id", "band_hash"
+        )
+        return self._write(bands, "bands")
+
+    def run_pairs(self, sketches: DataFrame, bands: DataFrame | None = None) -> DataFrame:
         if self._done("pairs"):
             return self._read("pairs")
+        if bands is not None:
+            from .pairs import candidate_pairs, verify_pairs
+
+            cands = candidate_pairs(bands)
+            return self._write(
+                verify_pairs(cands, sketches, self.params), "pairs"
+            )
         return self._write(pairs_stage(sketches, self.params), "pairs")
 
     def run_clusters(self, pairs: DataFrame, membership: DataFrame) -> DataFrame:
@@ -137,7 +162,10 @@ class CheckpointedDedup:
         sketches, membership = self.run_sketches(pages)
         if stop_after == "sketches":
             return sketches
-        pairs = self.run_pairs(sketches)
+        bands = self.run_bands(sketches)
+        if stop_after == "bands":
+            return bands
+        pairs = self.run_pairs(sketches, bands)
         if stop_after == "pairs":
             return pairs
         return self.run_clusters(pairs, membership)
@@ -160,6 +188,12 @@ class CheckpointedDedup:
             s["n_hashes"] = sk.agg(F.sum("num_hashes")).collect()[0][0]
         if self._done("membership"):
             s["n_pages"] = self._read("membership").count()
+        if self._done("bands"):
+            b = self._read("bands")
+            s["n_postings"] = b.count()
+            s["n_band_keys"] = (
+                b.select("band_id", "band_hash").distinct().count()
+            )
         if self._done("pairs"):
             s["n_pairs"] = self._read("pairs").count()
         if self._done("clusters"):

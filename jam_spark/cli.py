@@ -90,8 +90,9 @@ def main(argv: list[str] | None = None) -> int:
             sk, _ = ck.run_sketches(pages)
             print(json.dumps({"stage": "sketches", "rows": sk.count()}))
         elif args.cmd == "pairs":
-            sk = ck._read("sketches")
-            p = ck.run_pairs(sk)
+            sk = ck._read("sketches").persist()
+            bands = ck.run_bands(sk)
+            p = ck.run_pairs(sk, bands)
             print(json.dumps({"stage": "pairs", "rows": p.count()}))
         elif args.cmd == "cluster":
             cl = ck.run_clusters(ck._read("pairs"), ck._read("membership"))

@@ -86,7 +86,7 @@ def test_metrics_lineage_recorded(spark, small_pages, tmp_path):
     ck.run(small_pages)
     metrics = ck.metrics()
     stages = {m["stage"] for m in metrics}
-    assert stages == {"sketches", "membership", "pairs", "clusters"}
+    assert stages == {"sketches", "membership", "bands", "pairs", "clusters"}
     for m in metrics:
         assert m["rows"] == sum(p["rows"] for p in m["partitions"])
         assert m["wall_ms"] >= 0
