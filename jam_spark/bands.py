@@ -51,21 +51,69 @@ def signature_batch(
     flat_hashes: np.ndarray, offsets: np.ndarray, params: SketchParams
 ) -> np.ndarray:
     """(n_docs, num_perm) uint64 minhash signatures; rows for empty
-    sketches are all-ones (u64::MAX) sentinels."""
+    sketches are all-ones (u64::MAX) sentinels.
+
+    One-permutation hashing (Li, Owen, Zhang 2012) with rotation
+    densification (Shrivastava & Li 2014): each retained hash is remixed
+    ONCE, assigned to one of ``num_perm`` buckets by its low bits, and
+    each bucket keeps its min; empty buckets borrow cyclically from the
+    next filled bucket. One pass over the hashes instead of num_perm
+    passes — the classic per-perm rehash was the pipeline's dominant
+    memory-bandwidth consumer. Slot-collision probability remains ≈ the
+    sketch Jaccard, which is all LSH banding needs (recall vs the oracle
+    is enforced in tests).
+
+    This also honors the reference's one-hash-pass design
+    (/root/reference/src/sketcher.rs:96-104): signatures derive from
+    retained hashes, never from per-shingle permutations.
+    """
     n_docs = len(offsets) - 1
-    seeds = _perm_seeds(params)
-    sig = np.full((n_docs, params.num_perm), _U64(M64), dtype=_U64)
+    P = params.num_perm
+    sig = np.full((n_docs, P), _U64(M64), dtype=_U64)
     if len(flat_hashes) == 0:
         return sig
-    nonempty = np.where(offsets[1:] > offsets[:-1])[0]
-    if not len(nonempty):
-        return sig
-    starts = offsets[nonempty]
-    # one perm at a time: keeps the working set at |hashes| u64s instead
-    # of |hashes| x num_perm (memory-bandwidth bound otherwise)
-    for p in range(params.num_perm):
-        mixed = _np_fmix64(flat_hashes ^ seeds[p])
-        sig[nonempty, p] = np.minimum.reduceat(mixed, starts)
+    seed0 = _U64(xxh3_u64(params.sig_seed & M64))
+    v = _np_fmix64(flat_hashes ^ seed0)
+    bucket = (
+        (v & _U64(P - 1)) if (P & (P - 1)) == 0 else (v % _U64(P))
+    ).astype(np.int64)
+    doc = (
+        np.searchsorted(
+            offsets, np.arange(len(flat_hashes), dtype=np.int64), side="right"
+        )
+        - 1
+    )
+    # segment-min over (doc, bucket): sort by combined key, reduceat
+    key = doc * P + bucket
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    v_s = v[order]
+    first = np.ones(len(key_s), dtype=bool)
+    first[1:] = key_s[1:] != key_s[:-1]
+    starts = np.where(first)[0]
+    mins = np.minimum.reduceat(v_s, starts)
+    uk = key_s[starts]
+    sig[uk // P, uk % P] = mins
+
+    # rotation densification: empty slots take fmix(next filled value + j)
+    filled = sig != _U64(M64)
+    any_filled = filled.any(axis=1)
+    if not any_filled.all():
+        pass  # fully-empty docs stay all-sentinel (no bands)
+    rows = np.where(any_filled & ~filled.all(axis=1))[0]
+    if len(rows):
+        f2 = np.concatenate([filled[rows], filled[rows]], axis=1)
+        s2 = np.concatenate([sig[rows], sig[rows]], axis=1)
+        # for each position j (in the second copy), index of the nearest
+        # filled position >= j scanning right-to-left
+        idx = np.where(f2, np.arange(2 * P)[None, :], 2 * P + 1)
+        nxt = np.minimum.accumulate(idx[:, ::-1], axis=1)[:, ::-1]
+        take = nxt[:, :P]
+        r = np.arange(len(rows))[:, None]
+        borrowed = _np_fmix64(
+            s2[r, take] + np.arange(P, dtype=_U64)[None, :]
+        )
+        sig[rows] = np.where(filled[rows], sig[rows], borrowed)
     return sig
 
 
