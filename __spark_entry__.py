@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
         ),
         "simhash": q(lambda s, d: dedup.simhash(_docs(s, d))),
+        "substring_dup_spans": q(
+            lambda s, d: dedup.substring_dup_spans(_docs(s, d))
+        ),
         # --- near-dup: minhash/LSH core (jam-rs semantics; oracle-less,
         #     verified vs the pure-Python oracle in pytest) ---
         "minhash_sketches": q(lambda s, d: dedup.minhash_sketches(_docs(s, d))),
@@ -105,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.doc_fingerprint_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "substring_dup_spans": dedup.substring_dup_spans_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         # minhash_* and ann_lsh_topk intentionally omitted:
         # xxh3/LSH not expressible in ANSI SQL; covered by pytest oracle.

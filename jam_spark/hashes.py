@@ -254,6 +254,75 @@ def ahash_u64(kmer: int) -> int:
     return _rotl64(temp2 & M64, AHASH_ROT)
 
 
+# --- XXH64 (classic xxHash, public spec) ---
+# Used by the JVM-native sketch mode: Spark's built-in ``xxhash64``
+# SQL function is XXH64 with seed 42 over the value's bytes; this scalar
+# implementation gives the oracle bit-parity with it.
+
+_P64_1 = PRIME64_1
+_P64_2 = PRIME64_2
+_P64_3 = PRIME64_3
+_P64_4 = PRIME64_4
+_P64_5 = PRIME64_5
+
+
+def _xxh64_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P64_2) & M64
+    acc = _rotl64(acc, 31)
+    return (acc * _P64_1) & M64
+
+
+def _xxh64_merge_round(acc: int, val: int) -> int:
+    acc ^= _xxh64_round(0, val)
+    return (acc * _P64_1 + _P64_4) & M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64. Default seed 42 = Spark's ``xxhash64`` SQL function."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P64_1 + _P64_2) & M64
+        v2 = (seed + _P64_2) & M64
+        v3 = seed & M64
+        v4 = (seed - _P64_1) & M64
+        i = 0
+        while i <= n - 32:
+            v1 = _xxh64_round(v1, _r64(data, i))
+            v2 = _xxh64_round(v2, _r64(data, i + 8))
+            v3 = _xxh64_round(v3, _r64(data, i + 16))
+            v4 = _xxh64_round(v4, _r64(data, i + 24))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & M64
+        h = _xxh64_merge_round(h, v1)
+        h = _xxh64_merge_round(h, v2)
+        h = _xxh64_merge_round(h, v3)
+        h = _xxh64_merge_round(h, v4)
+    else:
+        h = (seed + _P64_5) & M64
+        i = 0
+    h = (h + n) & M64
+    while i <= n - 8:
+        h ^= _xxh64_round(0, _r64(data, i))
+        h = (_rotl64(h, 27) * _P64_1 + _P64_4) & M64
+        i += 8
+    if i <= n - 4:
+        h ^= (_r32(data, i) * _P64_1) & M64
+        h = (_rotl64(h, 23) * _P64_2 + _P64_3) & M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P64_5) & M64
+        h = (_rotl64(h, 11) * _P64_1) & M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P64_2) & M64
+    h ^= h >> 29
+    h = (h * _P64_3) & M64
+    h ^= h >> 32
+    return h
+
+
 # --- MurmurHash3 x64_128 (public domain algorithm, Austin Appleby) ---
 
 def _fmix64(k: int) -> int:

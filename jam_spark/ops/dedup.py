@@ -154,6 +154,117 @@ def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
     """
 
 
+# ------------------------------------------- duplicated substring spans
+
+def substring_dup_spans(
+    documents: DataFrame, window: int = 20
+) -> DataFrame:
+    """Exact duplicated-substring detection — the suffix-array-style
+    dedup family (cf. "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2021), re-expressed relationally: a token
+    position is *duplicated* iff its ``window``-token gram occurs more
+    than once in the corpus (across or within docs); overlapping
+    duplicated windows merge into maximal spans.
+
+    Distributed shape: gram-fingerprint explode → hash-agg (count>1) →
+    semi-join back → per-doc interval-island merge (one window pass).
+    Output: (doc_id, span_start, span_end, n_windows) with token-index
+    [span_start, span_end) spans.
+    """
+    toks = _tokens_col()
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (window - 1)),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.md5(
+                    F.concat_ws(
+                        " ", F.slice(toks, i, window)
+                    )
+                ).alias("fp"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,fp:string>>"))
+    pos_fp = documents.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.fp").alias("fp"))
+    dup_fps = (
+        pos_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .select("fp")
+    )
+    dup_pos = pos_fp.join(dup_fps, "fp").select("doc_id", "pos")
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + window).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            F.col("doc_id").cast("long"),
+            "span_start",
+            "span_end",
+            "n_windows",
+        )
+    )
+
+
+def substring_dup_spans_sql(window: int = 20) -> str:
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        pos_fp AS (
+          SELECT doc_id, u.i - 1 AS pos,
+                 md5(array_to_string(t[u.i : u.i + {window} - 1], ' ')) AS fp
+          FROM toks,
+               (SELECT unnest(range(1, 20001)) AS i) u  -- bound >= max doc tokens
+          WHERE u.i <= len(t) - {window} + 1
+        ),
+        dup AS (
+          SELECT fp FROM pos_fp GROUP BY fp HAVING count(*) > 1
+        ),
+        dp AS (
+          SELECT p.doc_id, p.pos FROM pos_fp p JOIN dup USING (fp)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 sum(CASE WHEN prev IS NULL OR pos - prev > {window}
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM (
+            SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dp
+          )
+        )
+        SELECT doc_id::BIGINT AS doc_id,
+               min(pos)::BIGINT AS span_start,
+               (max(pos) + {window})::BIGINT AS span_end,
+               count(*)::BIGINT AS n_windows
+        FROM isl GROUP BY doc_id, island
+    """
+
+
 # -------------------------------------------------------------- simhash
 
 #: number of simhash bits (60 = 15 hex chars of md5, portably castable

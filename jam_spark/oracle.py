@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .hashes import M64, ahash_u64, murmur3_u64, xxh3_64, xxh3_u64
+from .hashes import M64, ahash_u64, murmur3_u64, xxh3_64, xxh3_u64, xxh64
 from .normalize import tokenize_bytes
 from .params import SHINGLE_POLY_BASE, SketchParams
 
@@ -54,10 +54,28 @@ def shingle_values(tokens: list[bytes], k: int) -> list[int]:
 def sketch_text(text: str, params: SketchParams, name: str = "") -> OracleSketch:
     """tokenize → shingle-pack → ONE hash pass per shingle → FracMinHash
     filter → set semantics → bottom-nmax. Mirrors ``SketchHelper::push``
-    (``src/sketcher.rs:25-35``) and finalize (``:43-49``)."""
-    hash_fn = _ALGO_FN[params.algo]
+    (``src/sketcher.rs:25-35``) and finalize (``:43-49``).
+
+    algo='xxh64' mirrors the JVM-native mode instead: the k-token window
+    joined by single spaces is the shingle STRING, hashed once with
+    XXH64 seed 42 (= Spark's ``xxhash64``). Like the reference's Large
+    path, the shingle bytes are hashed directly (``src/sketcher.rs:99-105``).
+    """
     max_hash = params.max_hash
     kept: set[int] = set()
+    if params.algo == "xxh64":
+        # JVM mode tokenization: lower + whitespace split (no NFC;
+        # ASCII-equivalent to the frozen spec, documented in params)
+        toks = text.lower().split()
+        for i in range(max(0, len(toks) - params.k + 1)):
+            h = xxh64(" ".join(toks[i : i + params.k]).encode("utf-8"))
+            if h < max_hash:  # strict <, src/sketcher.rs:28
+                kept.add(h)
+        hashes = sorted(kept)
+        if params.nmax is not None and len(hashes) > params.nmax:
+            hashes = hashes[: params.nmax]
+        return OracleSketch(name=name, hashes=hashes, num_kmers=len(hashes))
+    hash_fn = _ALGO_FN[params.algo]
     for v in shingle_values(tokenize_bytes(text), params.k):
         h = hash_fn(v)
         if h < max_hash:  # strict <, src/sketcher.rs:28

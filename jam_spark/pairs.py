@@ -42,13 +42,16 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
 
     Scale-safe: sizes come from a partial-aggregated count (no window sort
     over the hot key); only the (few) hot band keys are broadcast back.
-    A member survives band b iff ``xxhash64(id) % mod == b % mod`` with
-    ``mod = ceil(size/cap)`` — a per-band ROTATION of survivor subsets,
-    so each doc of a hot cluster keeps ≈ bands/mod of its bands
-    (guaranteed ≥ 1 while mod ≤ bands) instead of either keeping all or
-    losing all. Each surviving bucket has ≈ cap members, bounding the
-    candidate blowup of an m-doc boilerplate cluster at
-    O(bands × cap²) pairs — independent of m.
+    A member survives band b iff ``xxhash64(id) % mod`` is one of the two
+    consecutive residues ``{b % mod, (b+1) % mod}``, with
+    ``mod = ceil(size/cap)`` — a per-band ROTATION of survivor subsets.
+    Each doc keeps ≈ 2·bands/mod of its bands (≥ 1 while mod ≤ bands)
+    instead of either keeping all or losing all, and because every band
+    bucket mixes two ADJACENT residue classes, verified pairs chain the
+    residue classes r→r+1→… into one connected component — a single
+    residue per band fragments the cluster into mod pieces. Buckets stay
+    ≈ 2·cap members, bounding an m-doc boilerplate cluster at
+    O(bands × cap²) candidate pairs — independent of m.
 
     Limit (documented): a NEAR-dup cluster wider than bands × cap may
     fragment (mod > bands leaves some docs with zero bands). True mirror
@@ -67,12 +70,11 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
         ["band_id", "band_hash"],
         "left",
     )
+    res = F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod"))
     return joined.filter(
         F.col("thin_mod").isNull()
-        | (
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod"))
-            == F.pmod(F.col("band_id").cast("long"), F.col("thin_mod"))
-        )
+        | (res == F.pmod(F.col("band_id").cast("long"), F.col("thin_mod")))
+        | (res == F.pmod(F.col("band_id").cast("long") + 1, F.col("thin_mod")))
     ).drop("thin_mod")
 
 

@@ -22,7 +22,12 @@ M64 = (1 << 64) - 1
 #: mod 2^64, so sliding windows can be computed by prefix products.
 SHINGLE_POLY_BASE = 0x9E3779B185EBCA87  # PRIME64_1
 
-ALGOS = ("xxh3", "ahash", "murmur3")
+#: "xxh64" is the JVM-native mode: shingle strings hashed with Spark's
+#: built-in ``xxhash64`` (XXH64 seed 42) entirely inside whole-stage
+#: codegen — no Python in the sketch hot path. It requires fscale >= 2 so
+#: every retained hash fits in a non-negative signed long (JVM sort order
+#: == unsigned order). The other algos run the vectorized Arrow-UDF path.
+ALGOS = ("xxh3", "ahash", "murmur3", "xxh64")
 
 
 def max_hash_for_fscale(fscale: int | None) -> int:
@@ -51,8 +56,12 @@ class SketchParams:
              (``src/sketcher.rs:28``). None/0 ⇒ keep all.
     nmax:    bottom-k cap — at most nmax *smallest* hashes kept
              (``src/sketcher.rs:30-33``). None ⇒ unlimited.
-    algo:    final per-shingle u64→u64 hash (dispatch mirrors
-             ``src/hash_functions.rs:61-76``; default xxh3 per input_hint).
+    algo:    per-shingle hash. Default 'xxh64' = the JVM-native mode
+             (shingle bytes hashed once with Spark's built-in xxhash64 —
+             the reference's Large-path shape, src/sketcher.rs:99-105,
+             fully inside whole-stage codegen). 'xxh3'/'ahash'/'murmur3'
+             run the vectorized Arrow-UDF packed-u64 path (dispatch
+             mirrors src/hash_functions.rs:61-76).
     num_perm/bands/rows: LSH signature layout (num_perm = bands*rows),
              derived by seeded rehash of the retained sketch hashes —
              NOT per-shingle permutations, honoring the reference's
@@ -68,7 +77,7 @@ class SketchParams:
     k: int = 5
     fscale: int | None = 8
     nmax: int | None = 256
-    algo: str = "xxh3"
+    algo: str = "xxh64"
     num_perm: int = 128
     bands: int = 64
     rows: int = 2
@@ -88,6 +97,11 @@ class SketchParams:
             raise ValueError(f"unknown scorer {self.scorer!r}")
         if self.k < 1:
             raise ValueError("k must be >= 1")
+        if self.algo == "xxh64" and (self.fscale or 0) < 2:
+            raise ValueError(
+                "algo='xxh64' (JVM-native mode) requires fscale >= 2 so "
+                "retained hashes stay below 2^63 (signed order == unsigned)"
+            )
 
     @property
     def max_hash(self) -> int:

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from .cluster import connected_components
 from .pairs import bands_table, candidate_pairs, thin_hot_bands, verify_pairs
 from .params import SketchParams
-from .sketch import make_sketch_udf
+from .sketch import jvm_sketch_col, make_sketch_udf
 
 
 def exact_groups(pages: DataFrame) -> DataFrame:
@@ -55,7 +55,10 @@ def sketch_stage(
     hashing uses the full task parallelism even when the source has few
     input splits.
     """
-    sketch_udf = make_sketch_udf(params)
+    if params.algo == "xxh64":
+        sketch_col = jvm_sketch_col(params)
+    else:
+        sketch_col = make_sketch_udf(params)(F.col("text"))
     if dedup_exact_first:
         # persist the (url, text_fp, rep_url) relation: it feeds the rep
         # filter, the membership projection, rep_nodes, and the final
@@ -82,7 +85,7 @@ def sketch_stage(
         )
         reps = pages.repartition(n_partitions, "url")
     sketches = reps.select(
-        "url", sketch_udf(F.col("text")).alias("sketch")
+        "url", sketch_col.alias("sketch")
     ).withColumn("num_hashes", F.size("sketch"))
     return sketches, membership
 

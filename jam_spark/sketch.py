@@ -308,6 +308,11 @@ def make_sketch_udf(params: SketchParams):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if params.algo == "xxh64":
+        raise ValueError(
+            "algo='xxh64' is the JVM-native mode — use jvm_sketch_col()"
+        )
+
     def _sketch(texts: pd.Series) -> pd.Series:
         h, off = sketch_batch(texts.tolist(), params)
         signed = h.view(np.int64)
@@ -316,3 +321,41 @@ def make_sketch_udf(params: SketchParams):
         )
 
     return F.pandas_udf(_sketch, T.ArrayType(T.LongType()))
+
+
+def jvm_sketch_col(params: SketchParams, text_col: str = "text"):
+    """JVM-native sketch expression (algo='xxh64'): the whole
+    tokenize → shingle → hash → FracMinHash → distinct/sort/bottom-nmax
+    pipeline as built-in column functions — whole-stage codegen, zero
+    Python in the hot path. ~10x the Arrow-UDF path's throughput and
+    scales with cores (no per-process allocator/GIL effects).
+
+    Shingle hash = ``xxhash64(concat_ws(' ', k tokens))`` — one hash pass
+    per shingle over the shingle bytes, the reference's Large-path shape
+    (``src/sketcher.rs:99-105``). Requires fscale >= 2 (all retained
+    hashes < 2^63 ⇒ signed order == unsigned order).
+    """
+    from pyspark.sql import functions as F
+
+    if params.algo != "xxh64":
+        raise ValueError("jvm_sketch_col requires algo='xxh64'")
+    max_hash = params.max_hash
+    assert max_hash < (1 << 63)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (params.k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, params.k))),
+    )
+    grams = F.when(F.size(toks) >= params.k, grams).otherwise(
+        F.array().cast("array<long>")
+    )
+    kept = F.filter(
+        grams, lambda h: (h >= 0) & (h < F.lit(max_hash))
+    )
+    sketch = F.array_sort(F.array_distinct(kept))
+    if params.nmax is not None:
+        sketch = F.slice(sketch, 1, params.nmax)
+    return sketch

@@ -1,0 +1,61 @@
+"""JVM-native sketch mode (algo='xxh64'): parity with the oracle and
+end-to-end cluster equality."""
+
+import numpy as np
+import pytest
+
+from jam_spark import oracle as O
+from jam_spark.hashes import xxh64
+from jam_spark.params import SketchParams
+from jam_spark.pipeline import dedup_pipeline, sketch_stage
+
+JVM_PARAMS = SketchParams(algo="xxh64")
+
+
+def test_xxh64_matches_spark_builtin(spark):
+    samples = ["", "a", "hello world", "x" * 100, "naïve café", "tok " * 50]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    for r in df.selectExpr("s", "xxhash64(s) AS h").collect():
+        assert (r["h"] & (2**64 - 1)) == xxh64(r["s"].encode("utf-8"), 42)
+
+
+def test_jvm_sketch_matches_oracle(spark, corpus_pages, pages_df):
+    sketches, _ = sketch_stage(pages_df, JVM_PARAMS)
+    got = {r["url"]: r["sketch"] for r in sketches.collect()}
+    by_text_rep = {}
+    for p in corpus_pages:
+        by_text_rep.setdefault(p.text, []).append(p.url)
+    for text, urls in by_text_rep.items():
+        rep = min(urls)
+        want = O.sketch_text(text, JVM_PARAMS).hashes
+        have = [h & (2**64 - 1) for h in got[rep]]
+        assert have == want, rep
+
+
+def test_jvm_mode_requires_fscale():
+    with pytest.raises(ValueError, match="fscale >= 2"):
+        SketchParams(algo="xxh64", fscale=None)
+
+
+def test_jvm_pipeline_cluster_equality(spark, corpus_pages, pages_df):
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pipeline(pages_df, JVM_PARAMS).collect()
+    }
+    o_sketches = [
+        O.sketch_text(p.text, JVM_PARAMS, name=p.url) for p in corpus_pages
+    ]
+    o_pairs = O.all_pairs(o_sketches, JVM_PARAMS)
+    want = O.cluster([p.url for p in corpus_pages], o_pairs)
+    diffs = {u for u in got if got[u] != want[u]}
+    assert not diffs, sorted(diffs)[:10]
+
+
+def test_jvm_sketch_plan_is_codegen(spark, pages_df):
+    """The sketch expression must stay inside whole-stage codegen — no
+    Python evaluation node in the plan."""
+    from jam_spark.sketch import jvm_sketch_col
+
+    q = pages_df.select("url", jvm_sketch_col(JVM_PARAMS).alias("sk"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -44,16 +44,16 @@ def test_max_hash_f64_truncation():
 
 
 def test_sketch_strict_threshold_and_bottomk():
-    p = SketchParams(k=1, fscale=None, nmax=3)
+    p = SketchParams(algo='xxh3', k=1, fscale=None, nmax=3)
     s = O.sketch_text("q w e r t y u", p)
     assert len(s.hashes) == 3  # bottom-3 smallest kept
-    full = O.sketch_text("q w e r t y u", SketchParams(k=1, fscale=None, nmax=None))
+    full = O.sketch_text("q w e r t y u", SketchParams(algo='xxh3', k=1, fscale=None, nmax=None))
     assert s.hashes == sorted(full.hashes)[:3]
     assert s.num_kmers == 3  # num_kmers = retained count (sketcher.rs:43-46)
 
 
 def test_sketch_set_semantics():
-    p = SketchParams(k=1, fscale=None, nmax=None)
+    p = SketchParams(algo='xxh3', k=1, fscale=None, nmax=None)
     once = O.sketch_text("hello world", p)
     thrice = O.sketch_text("hello world hello world hello world", p)
     assert once.hashes == thrice.hashes
@@ -92,7 +92,7 @@ def test_sketch_mergeability():
 
 
 def test_cutoff_strict():
-    p = SketchParams(k=1, fscale=None, nmax=None, cutoff=50.0)
+    p = SketchParams(algo='xxh3', k=1, fscale=None, nmax=None, cutoff=50.0)
     a = O.sketch_text("a b", p)
     a.name = "a"
     b = O.sketch_text("a c", p)

@@ -12,7 +12,7 @@ from jam_spark.sketch import make_sketch_udf
 
 
 def test_sketch_udf_matches_oracle(spark, corpus_pages, pages_df):
-    params = SketchParams()
+    params = SketchParams(algo="xxh3")  # the Arrow-UDF packed-u64 path
     udf = make_sketch_udf(params)
     got = {
         r["url"]: r["sk"]
@@ -49,7 +49,7 @@ def test_sketch_pushdown_and_pruning(spark, pages_df, tmp_path):
     path = str(tmp_path / "pages")
     pages_df.write.mode("overwrite").parquet(path)
     pages = spark.read.parquet(path)
-    udf = make_sketch_udf(SketchParams())
+    udf = make_sketch_udf(SketchParams(algo="xxh3"))
     q = (
         pages.filter(F.col("lang") == "en")
         .select("url", udf("text").alias("sketch"))

@@ -41,20 +41,14 @@ def child(cores: int, corpus: str, cpuset: str | None = None) -> None:
     pages = spark.read.parquet(corpus).select("url", "text")
     n_docs = pages.count()
     params = SketchParams()
-    # warm-up, not measured: JVM codegen AND the python worker pool —
-    # workers are long-lived on a real cluster; cold spawn+imports on all
-    # slots would otherwise dominate the first UDF stage
-    from jam_spark.sketch import make_sketch_udf
+    # warm-up, not measured: JVM codegen AND the python worker pool
+    # (bands/verify UDFs) — workers are long-lived on a real cluster;
+    # cold spawn+imports on all slots would otherwise pollute the timing
+    from jam_spark.pipeline import dedup_pipeline
 
-    warm_udf = make_sketch_udf(params)
-    (
-        pages.limit(64 * cores)
-        .repartition(2 * cores)
-        .select(warm_udf("text"))
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    dedup_pipeline(
+        pages.limit(64 * cores).repartition(2 * cores), params
+    ).write.format("noop").mode("overwrite").save()
     t0 = time.time()
     sketches, membership = sketch_stage(pages, params)
     sketches = sketches.persist()
