@@ -65,10 +65,14 @@ def sketch_text(text: str, params: SketchParams, name: str = "") -> OracleSketch
     kept: set[int] = set()
     if params.algo == "xxh64":
         # JVM mode tokenization: lower + whitespace split (no NFC;
-        # ASCII-equivalent to the frozen spec, documented in params)
-        toks = text.lower().split()
+        # ASCII-equivalent to the frozen spec, documented in params).
+        # Shingle hash = seed-chained XXH64 over the k tokens, exactly
+        # Spark's multi-arg xxhash64(tok_i..tok_{i+k-1}).
+        toks = [t.encode("utf-8") for t in text.lower().split()]
         for i in range(max(0, len(toks) - params.k + 1)):
-            h = xxh64(" ".join(toks[i : i + params.k]).encode("utf-8"))
+            h = 42
+            for j in range(params.k):
+                h = xxh64(toks[i + j], h)
             if h < max_hash:  # strict <, src/sketcher.rs:28
                 kept.add(h)
         hashes = sorted(kept)

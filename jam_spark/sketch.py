@@ -341,21 +341,35 @@ def jvm_sketch_col(params: SketchParams, text_col: str = "text"):
         raise ValueError("jvm_sketch_col requires algo='xxh64'")
     max_hash = params.max_hash
     assert max_hash < (1 << 63)
+    # IMPORTANT: the token array must be a bound lambda variable, not an
+    # inline subexpression — Catalyst inlines unaliased subtrees into
+    # every lambda element, re-running split() per WINDOW and turning the
+    # stage O(len^2). One enclosing transform gives `t` a single
+    # evaluation per row.
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda t: t != "",
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (params.k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, params.k))),
-    )
-    grams = F.when(F.size(toks) >= params.k, grams).otherwise(
-        F.array().cast("array<long>")
-    )
-    kept = F.filter(
-        grams, lambda h: (h >= 0) & (h < F.lit(max_hash))
-    )
-    sketch = F.array_sort(F.array_distinct(kept))
-    if params.nmax is not None:
-        sketch = F.slice(sketch, 1, params.nmax)
-    return sketch
+
+    def _sketch_over(t):
+        # xxhash64 over the k tokens directly: Spark chains the seed
+        # through the arguments (h = xxh64(tok_i, seed=h)), so no gram
+        # string or slice array is materialized per window. The oracle
+        # mirrors the chaining exactly.
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (params.k - 1)),
+            lambda i: F.xxhash64(
+                *[F.element_at(t, i + j) for j in range(params.k)]
+            ),
+        )
+        grams = F.when(F.size(t) >= params.k, grams).otherwise(
+            F.array().cast("array<long>")
+        )
+        kept = F.filter(grams, lambda h: (h >= 0) & (h < F.lit(max_hash)))
+        sketch = F.array_sort(F.array_distinct(kept))
+        if params.nmax is not None:
+            sketch = F.slice(sketch, 1, params.nmax)
+        return sketch
+
+    # bind toks once via a single-element transform, then flatten
+    return F.get(F.transform(F.array(toks), _sketch_over), 0)
