@@ -3,7 +3,13 @@
 north_rule: "resumable from checkpoint with per-partition lineage +
 metrics". Each stage materializes to a parquet table under the
 checkpoint root (production target: Iceberg tables — same layout, the
-writes here are the format-agnostic equivalent):
+writes here are the format-agnostic equivalent. Probed this sandbox:
+``tools/iceberg_probe.py`` → no iceberg-spark-runtime jar, no pyiceberg,
+no network to fetch either, so the Iceberg writer cannot be exercised
+here; on a cluster with the runtime jar, each ``_write`` becomes
+``df.writeTo(tbl).tableProperty("jam.params", params.to_json())`` and
+``params.json``/``_SUCCESS`` are subsumed by table properties +
+snapshots):
 
     root/
       params.json            frozen SketchParams for the whole run
@@ -95,6 +101,18 @@ class CheckpointedDedup:
     def _read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self._path(stage))
 
+    def _invalidate(self, *stages: str) -> None:
+        """Remove stage tables (and their metrics) whose inputs changed —
+        a completed downstream stage computed over a STALE upstream would
+        otherwise be reused silently on resume."""
+        import shutil
+
+        for stage in stages:
+            shutil.rmtree(self._path(stage), ignore_errors=True)
+            mfile = os.path.join(self.root, "metrics", f"{stage}.jsonl")
+            if os.path.exists(mfile):
+                os.remove(mfile)
+
     # ----------------------------------------------------------- stages
     def run_sketches(self, pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         if self._done("sketches") and self._done("membership"):
@@ -109,6 +127,11 @@ class CheckpointedDedup:
             sk_new, mem_new = sketch_stage(new_pages, self.params)
             sk_new.write.mode("append").parquet(self._path("sketches"))
             mem_new.write.mode("append").parquet(self._path("membership"))
+            # the sketch set changed ⇒ every downstream stage is stale;
+            # leaving a _SUCCESS-marked bands/pairs/clusters table in
+            # place would silently return clusters that omit or mislabel
+            # the appended pages on the next run() resume
+            self._invalidate("bands", "pairs", "clusters")
             return self._read("sketches"), self._read("membership")
         sketches, membership = sketch_stage(pages, self.params)
         out_m = self._write(membership, "membership")
@@ -149,7 +172,13 @@ class CheckpointedDedup:
         if self._done("clusters"):
             return self._read("clusters")
         rep_nodes = membership.select(F.col("rep_url").alias("url")).distinct()
-        rep_clusters = connected_components(pairs, rep_nodes)
+        # reliable per-iteration checkpoints for the distributed CC path:
+        # blocks written under the job root survive executor loss (a
+        # localCheckpoint would die with its executor mid-run)
+        rep_clusters = connected_components(
+            pairs, rep_nodes,
+            checkpoint_dir=os.path.join(self.root, "cc_checkpoints"),
+        )
         clusters = membership.join(
             rep_clusters.withColumnRenamed("url", "rep_url"), "rep_url"
         ).select("url", "cluster_id")

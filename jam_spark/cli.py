@@ -33,8 +33,11 @@ def _add_params(p: argparse.ArgumentParser) -> None:
                    help="FracMinHash scale; 0 = keep all (ref: src/cli.rs:62)")
     p.add_argument("--nmax", type=int, default=d.nmax,
                    help="bottom-k cap on sketch size (ref: src/cli.rs:65)")
-    p.add_argument("--algorithm", choices=["xxh3", "ahash", "murmur3"],
-                   default=d.algo, help="per-shingle hash (ref: src/cli.rs:69)")
+    p.add_argument("--algorithm",
+                   choices=["xxh64", "xxh3", "ahash", "murmur3"],
+                   default=d.algo,
+                   help="per-shingle hash; xxh64 = JVM-native mode, the "
+                        "default (ref: src/cli.rs:69)")
     p.add_argument("--cutoff", type=float, default=d.cutoff,
                    help="similarity cutoff, percent, strict > (ref: src/cli.rs:103)")
     p.add_argument("--bands", type=int, default=d.bands)

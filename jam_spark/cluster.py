@@ -26,6 +26,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     driver_threshold: int = 5_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Returns (url, cluster_id): cluster_id = min id in the component.
 
@@ -39,6 +40,12 @@ def connected_components(
     in one pass and the labels are joined back distributively; above the
     threshold the iterative hash-min label propagation runs fully
     distributed. Both produce identical labels (min member id).
+
+    ``checkpoint_dir``: when set, the distributed path cuts per-iteration
+    lineage with RELIABLE checkpoints written there (``df.checkpoint``),
+    so losing an executor mid-run cannot kill a long CC job; when None it
+    falls back to ``localCheckpoint`` (blocks live on executors — fine
+    for tests/ad-hoc local runs, not for production pipelines).
     """
     e0 = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # persist: the edge set is consumed by the size probe and then either
@@ -49,7 +56,7 @@ def connected_components(
     if n_edges <= driver_threshold:
         out = _cc_driver(e0, nodes)
     else:
-        out = _cc_distributed(e0, nodes, max_iter)
+        out = _cc_distributed(e0, nodes, max_iter, checkpoint_dir)
     return out
 
 
@@ -114,11 +121,26 @@ def _cc_driver(e0: DataFrame, nodes: DataFrame | None) -> DataFrame:
 
 
 def _cc_distributed(
-    e0: DataFrame, nodes: DataFrame | None, max_iter: int
+    e0: DataFrame,
+    nodes: DataFrame | None,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
+    spark = e0.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # reliable checkpoint when a dir is configured (survives executor
+        # loss — required for long production CC runs); localCheckpoint
+        # otherwise (lineage cut only)
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = e0
     e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct().localCheckpoint(eager=True)
+    e = _cut(e.distinct())
 
     if nodes is not None:
         universe = nodes.select(F.col(nodes.columns[0]).alias("url")).distinct()
@@ -126,7 +148,7 @@ def _cc_distributed(
         universe = e.select(F.col("src").alias("url")).distinct()
 
     labels = universe.select("url", F.col("url").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cut(labels)
 
     for _ in range(max_iter):
         # message passing: every node offers its label to its neighbors;
@@ -134,11 +156,10 @@ def _cc_distributed(
         msgs = e.join(
             labels.withColumnRenamed("url", "src"), "src"
         ).select(F.col("dst").alias("url"), "cluster_id")
-        new_labels = (
+        new_labels = _cut(
             labels.unionByName(msgs)
             .groupBy("url")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

@@ -27,9 +27,12 @@ def export_sourmash_json(
 ) -> None:
     """One JSON object per line: {name, ksize, max_hash, num, mins}.
 
-    ``mins`` are unsigned u64s sorted ascending — byte-compatible with the
-    reference's sourmash conversion (src/sketch.rs:26-34: sorted BTreeSet
-    iteration; src/signature.rs:15-31: ksize/max_hash envelope).
+    This is jam_spark's own FLAT dialect (value-compatible, not
+    byte-compatible: ``mins`` are the same unsigned u64s in the same
+    sorted order as the reference's sorted-BTreeSet iteration,
+    src/sketch.rs:26-34, but the envelope differs). For files in the
+    reference's actual nested sourmash envelope
+    (src/signature.rs:15-31), use :func:`read_sourmash_envelope`.
     """
     k, max_hash = params.k, params.max_hash
 
@@ -93,6 +96,68 @@ def read_sourmash_json(
         _parse,
         schema="url string, sketch array<long>, num_hashes int, ksize int, max_hash_str string",
     )
+    return _validate_config(raw, path, expected)
+
+
+def read_sourmash_envelope(
+    spark: SparkSession, path: str, expected: SketchParams | None = None
+) -> DataFrame:
+    """Parse signature files in the REFERENCE's actual format — nested
+    sourmash envelopes (``src/signature.rs:15-103`` via the sourmash
+    crate): a JSON array of records, each with a ``signatures`` list of
+    ``{mins, ksize, max_hash, ...}`` MinHash objects plus
+    filename/name/md5sum metadata. Returns (url, sketch, num_hashes) —
+    one row per inner signature; mirrors the reference's import
+    validation (uniform ksize/max_hash, src/signature.rs:41-55) and its
+    naming (``sourmash_signature.filename()``, src/signature.rs:57-62;
+    ``name`` is the fallback when filename is absent).
+    """
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, sketches, nums, ks, mhs = [], [], [], [], []
+            for blob in pdf["value"]:
+                records = json.loads(blob)
+                if isinstance(records, dict):
+                    records = [records]
+                for rec in records:
+                    name = rec.get("filename") or rec.get("name") or ""
+                    for sig in rec.get("signatures", []):
+                        arr = np.array(
+                            sig.get("mins", []), dtype=np.uint64
+                        ).view(np.int64)
+                        urls.append(name)
+                        sketches.append(arr)
+                        nums.append(len(arr))
+                        ks.append(int(sig["ksize"]))
+                        mhs.append(str(sig.get("max_hash", M64)))
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "sketch": sketches,
+                    "num_hashes": pd.array(nums, dtype="int32"),
+                    "ksize": pd.array(ks, dtype="int32"),
+                    "max_hash_str": mhs,
+                }
+            )
+
+    raw = (
+        spark.read.option("wholetext", True)
+        .text(path)
+        .mapInPandas(
+            _parse,
+            schema=(
+                "url string, sketch array<long>, num_hashes int, "
+                "ksize int, max_hash_str string"
+            ),
+        )
+    )
+    return _validate_config(raw, path, expected)
+
+
+def _validate_config(
+    raw: DataFrame, path: str, expected: SketchParams | None
+) -> DataFrame:
     distinct_cfg = raw.select("ksize", "max_hash_str").distinct().collect()
     if len(distinct_cfg) > 1:
         raise ValueError(f"Mixed sketch configs in {path}: {distinct_cfg}")
@@ -107,14 +172,17 @@ def read_sourmash_json(
 
 
 def write_pairs_tsv(pairs: DataFrame, path: str) -> None:
-    """Reference TSV sink: larger sketch first (reverse swaps the order,
-    src/compare.rs:53-62), sorted by score descending (C7,
-    src/main.rs:104)."""
-    cols = pairs.columns
-    rev = F.col("reverse") if "reverse" in cols else F.lit(False)
+    """Reference TSV sink, sorted by score descending (C7, src/main.rs:104).
+
+    Name order matches the reference's ``Display`` exactly
+    (src/compare.rs:38-62): internally ``from_name`` is the LARGER sketch
+    (src/compare.rs:146-163, 221), but when ``reverse`` is set Display
+    prints ``to_name`` first — restoring the ORIGINAL comparison order.
+    Net effect: rows always print in the original (id_a, id_b) order; the
+    ``reverse`` flag only records which side was larger."""
     out = pairs.select(
-        F.when(rev, F.col("id_b")).otherwise(F.col("id_a")).alias("from"),
-        F.when(rev, F.col("id_a")).otherwise(F.col("id_b")).alias("to"),
+        F.col("id_a").alias("from"),
+        F.col("id_b").alias("to"),
         "num_common",
         "num_kmers",
         F.col("similarity").alias("estimated_containment"),

@@ -18,6 +18,15 @@ THE SPEC (do not change without versioning ``SketchParams``):
 There is no reverse-complement analogue for text; the reference's
 canonical-kmer step (``src/sketcher.rs:99-105``) is a genomics-only
 concern and is explicitly dropped.
+
+JVM-native mode (``algo='xxh64'``) — deliberate spec variant: Spark has
+no NFC builtin, so that path applies steps 2-4 WITHOUT step 1 (NFC).
+Tokenization there is ``lower()`` + split on the Unicode-whitespace
+regex ``[\\p{IsWhite_Space}\\x1c-\\x1f]`` — exactly Python's
+``str.split()`` class — and the pure-Python oracle for xxh64 mode
+mirrors the no-NFC behavior (``oracle.sketch_text``), so parity holds on
+non-ASCII text too. Consequence: two documents whose texts differ only
+in Unicode normalization form dedup under xxh3 but not under xxh64.
 """
 
 from __future__ import annotations

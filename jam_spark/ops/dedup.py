@@ -76,18 +76,36 @@ def _ngrams_col(n: int = 3):
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.5
+    documents: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for all pairs above ``threshold``
     (strict >), computed distributively: explode distinct n-grams,
     equi-join on the gram, count common per pair, Jaccard from exact
     integer counts. This is the same join shape as the reference's
     inverted-index probe (src/compare.rs:344-352) with n-grams as keys.
+
+    Skew guard (the 100 TB concern): a gram shared by m docs produces m²
+    join rows, and web boilerplate grams reach m in the millions. Grams
+    with document frequency > ``max_df`` are dropped from BOTH the
+    numerator and the denominator (df counts come from a map-side-combined
+    partial aggregate; the hot-gram set is broadcast, mirroring
+    ``thin_hot_bands``) — a gram in thousands of docs carries no Jaccard
+    signal. The SQL oracle applies the identical cap, so parity holds at
+    every scale; pair work is bounded at O(n_grams × max_df²/2).
     """
-    grams = (
-        documents.select("doc_id", F.explode(_ngrams_col(n)).alias("gram"))
-        .distinct()
+    # _ngrams_col is array_distinct per doc — explode output is already
+    # (doc_id, gram)-distinct, no shuffle needed
+    grams = documents.select(
+        "doc_id", F.explode(_ngrams_col(n)).alias("gram")
     )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
+    )
+    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -123,19 +141,27 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+def ngram_jaccard_pairs_sql(
+    n: int = 3, threshold: float = 0.5, max_df: int = 1000
+) -> str:
     gram_expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
     return f"""
         WITH toks AS (
           SELECT doc_id, {_TOKENS} AS t FROM documents
         ),
-        grams AS (
+        grams0 AS (
           SELECT DISTINCT doc_id, gram
           FROM (
             SELECT doc_id,
                    unnest([{gram_expr} for i in range(1, len(t) - {n - 2})]) AS gram
             FROM toks WHERE len(t) >= {n}
           )
+        ),
+        keep AS (
+          SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= {max_df}
+        ),
+        grams AS (
+          SELECT g.doc_id, g.gram FROM grams0 g JOIN keep USING (gram)
         ),
         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
         common AS (
@@ -278,39 +304,44 @@ def simhash(documents: DataFrame) -> DataFrame:
     Token hash = first 15 hex chars of md5(token) as a 60-bit integer
     (portable across engines); bit b of the simhash is 1 iff the sum over
     *distinct* tokens of (2*bit_b(token) - 1) is positive.
+
+    Scale shape: the whole fingerprint is a per-row array aggregate
+    (``aggregate`` folding 60-long counter arrays with ``zip_with``) —
+    zero explode, zero shuffle, pure map inside whole-stage codegen. The
+    previous formulation exploded tokens x 60 bits and shuffled the
+    (doc_id, b) grid; results are identical (same sums, same sign rule).
     """
-    toks = (
-        documents.select(
-            "doc_id", F.explode(F.array_distinct(_tokens_col())).alias("tok")
-        )
-        .withColumn(
-            "th",
-            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"),
-        )
+    th_arr = F.transform(
+        F.array_distinct(_tokens_col()),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    bits = toks.select(
-        "doc_id",
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-    ).withColumn("contrib", F.expr("(shiftright(th, b) & 1) * 2 - 1"))
-    agg = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
-    return (
-        agg.withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("doc_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.reverse(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("b"), F.col("bit")))
-                        ),
-                        lambda s: s["bit"],
-                    )
-                ),
-            ).alias("simhash")
-        )
-        .select(F.col("doc_id").cast("long"), "simhash")
+    sums = F.aggregate(
+        th_arr,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        # contributions unrolled per bit (shiftright needs a literal count
+        # in the DataFrame API); acc[b] += (bit_b(th) ? +1 : -1)
+        lambda acc, th: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    ((F.shiftright(th, b) % 2) * 2 - 1).cast("long")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        F.concat_ws(
+            "",
+            F.reverse(
+                F.transform(
+                    sums,
+                    lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0")),
+                )
+            ),
+        ).alias("simhash"),
     )
 
 

@@ -107,53 +107,116 @@ def cosine_topk_sql(k: int = 5) -> str:
     """
 
 
-def cosine_topk_fast(embeddings: DataFrame, k: int = 5) -> DataFrame:
-    """Fast exact top-k: broadcast the (normalized) matrix to executors,
-    stream rows through a vectorized mapInPandas matmul + argpartition.
+def cosine_topk_fast(
+    embeddings: DataFrame,
+    k: int = 5,
+    block_size: int = 4096,
+    max_exact_n: int = 2_000_000,
+) -> DataFrame:
+    """Fast exact top-k as a distributed block-nested-loop: vectors are
+    hashed into ``ceil(n/block_size)`` blocks, each block is packed into
+    one (ids, float64-matrix) row executor-side, every (query-block,
+    corpus-block) pair streams through a vectorized matmul+argpartition,
+    and per-block top-k candidates merge to the global top-k with an
+    exact window rank. The driver never holds a row — no ``collect()``,
+    no driver-sized broadcast (the previous implementation collected the
+    whole table, a guaranteed driver OOM at web scale). Shuffle volume is
+    n_blocks replicas of the packed table; work is the same n² flops as
+    brute force but BLAS-batched.
 
     Same results as :func:`cosine_topk` up to float summation order
     (np.dot) — use cosine_topk for bit-exact oracle parity, this one for
-    throughput. Scale path: one broadcast of d×n floats (fits for ≤ ~10M
-    vectors); beyond that, IVF/LSH (:func:`ann_lsh_topk`).
+    throughput. Above ``max_exact_n`` vectors exact n² is the wrong tool
+    at any constant factor: falls back to :func:`ann_lsh_topk`.
     """
-    rows = embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = embeddings.sparkSession.sparkContext
-    b_ids = sc.broadcast(ids)
-    b_mat = sc.broadcast(mat)
+    n = embeddings.count()
+    if n == 0:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, neighbor_id long, cosine double, rank long"
+        )
+    if n > max_exact_n:
+        return ann_lsh_topk(embeddings, k=k)
+    n_blocks = -(-n // block_size)
 
-    def _topk(batches):
-        ids_l = b_ids.value
-        mat_l = b_mat.value
-        pos = {int(v): i for i, v in enumerate(ids_l)}
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {
+                "block": [int(pdf["block"].iloc[0])],
+                "ids": [pdf["vec_id"].to_numpy(dtype=np.int64)],
+                "mat": [mat.tobytes()],
+                "dim": [mat.shape[1]],
+            }
+        )
+
+    packed = (
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).alias("block"),
+        )
+        .groupBy("block")
+        .applyInPandas(
+            _pack, schema="block long, ids array<long>, mat binary, dim int"
+        )
+    )
+    qb = packed.select(
+        F.col("ids").alias("q_ids"), F.col("mat").alias("q_mat"), "dim"
+    )
+    cb = packed.select(
+        F.col("ids").alias("c_ids"), F.col("mat").alias("c_mat"),
+        F.col("dim").alias("c_dim"),
+    )
+
+    def _block_topk(batches):
         for pdf in batches:
-            q = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ mat_l.T  # (batch, n)
-            out_v, out_n, out_c, out_r = [], [], [], []
-            for bi, vid in enumerate(pdf["vec_id"]):
-                s = sims[bi]
-                s[pos[int(vid)]] = -np.inf  # exclude self
-                nn = np.argpartition(-s, k)[: k + 1]
-                nn = nn[np.lexsort((ids_l[nn], -s[nn]))][:k]
-                for r, j in enumerate(nn, start=1):
-                    out_v.append(int(vid))
-                    out_n.append(int(ids_l[j]))
-                    out_c.append(float(s[j]))
-                    out_r.append(r)
+            out_v, out_n, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                dim = int(row.dim)
+                q_ids = np.asarray(row.q_ids, dtype=np.int64)
+                c_ids = np.asarray(row.c_ids, dtype=np.int64)
+                q = np.frombuffer(row.q_mat, dtype=np.float64).reshape(-1, dim)
+                c = np.frombuffer(row.c_mat, dtype=np.float64).reshape(-1, dim)
+                sims = q @ c.T  # (nq, nc)
+                self_mask = q_ids[:, None] == c_ids[None, :]
+                if self_mask.any():
+                    sims = np.where(self_mask, -np.inf, sims)
+                kk = min(k, sims.shape[1] - 1)
+                if kk < sims.shape[1] - 1:
+                    top = np.argpartition(-sims, kk, axis=1)[:, : k]
+                else:
+                    top = np.broadcast_to(
+                        np.arange(sims.shape[1]), sims.shape
+                    )
+                for qi in range(len(q_ids)):
+                    nn = top[qi]
+                    s = sims[qi, nn]
+                    keep = s > -np.inf
+                    nn, s = nn[keep], s[keep]
+                    order = np.lexsort((c_ids[nn], -s))[:k]
+                    nn = nn[order]
+                    out_v.extend([int(q_ids[qi])] * len(nn))
+                    out_n.extend(c_ids[nn].tolist())
+                    out_c.extend(sims[qi, nn].tolist())
             yield pd.DataFrame(
                 {
                     "vec_id": pd.array(out_v, dtype="int64"),
                     "neighbor_id": pd.array(out_n, dtype="int64"),
                     "cosine": pd.array(out_c, dtype="float64"),
-                    "rank": pd.array(out_r, dtype="int64"),
                 }
             )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        _topk, schema="vec_id long, neighbor_id long, cosine double, rank long"
+    parts = qb.crossJoin(cb).mapInPandas(
+        _block_topk, schema="vec_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        parts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
     )
 
 
@@ -176,35 +239,59 @@ def _planes(dim: int, n_planes: int, seed: int = 0xA11CE) -> np.ndarray:
     return vals.reshape(n_planes, dim)
 
 
+_PLANES_CACHE: dict = {}
+
+
+def _planes_all(dim: int, n_planes: int, n_tables: int) -> dict:
+    """Per-worker cache: the plane matrices are deterministic functions of
+    (dim, n_planes, n_tables), generated once per executor process —
+    ``dim`` is read from the actual vectors at runtime, so no driver-side
+    ``.first()`` job is ever needed."""
+    key = (dim, n_planes, n_tables)
+    if key not in _PLANES_CACHE:
+        _PLANES_CACHE[key] = {
+            t: _planes(dim, n_planes, seed=0xA11CE + 7919 * t)
+            for t in range(n_tables)
+        }
+    return _PLANES_CACHE[key]
+
+
+def auto_n_planes(n_vectors: int, target_bucket: int = 128) -> int:
+    """Plane count such that the EXPECTED bucket size n/2^p ≈
+    ``target_bucket``: per-bucket candidate work is |bucket|², so holding
+    bucket size constant as the corpus grows keeps total candidate volume
+    linear in n — the property that makes the plan survive 100×."""
+    import math
+
+    return max(4, min(24, math.ceil(math.log2(max(2.0, n_vectors / target_bucket)))))
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 24,
+    target_bucket: int = 128,
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH.
 
     Scale shape: |bucket|² work instead of n²; buckets are the shuffle
     key. Exact cosine re-rank within candidate pairs.
 
-    Collision probability per table is (1 - θ/π)^n_planes, so n_planes
-    trades candidate volume against recall: the defaults (4, 24) hit
-    ≥0.99 top-1 recall on *low-similarity* neighbors (cos ≈ 0.37, the
-    synthetic test corpus). For dedup-style high-similarity targets at
-    web scale, raise n_planes (12-16) so buckets stay small — recall per
-    table falls slowly when cos → 1 but candidate volume falls
-    exponentially.
+    ``n_planes=None`` (default) auto-sizes from the corpus count so the
+    expected bucket stays ≈ ``target_bucket`` vectors at any scale (see
+    :func:`auto_n_planes`). Collision probability per table is
+    (1 - θ/π)^n_planes, so more tables buy back the recall that more
+    planes cost; recall floors are enforced in tests at 1× and 10× the
+    test corpus.
     """
-    dim = len(embeddings.select("embedding").first()["embedding"])
-    planes = {
-        t: _planes(dim, n_planes, seed=0xA11CE + 7919 * t)
-        for t in range(n_tables)
-    }
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_udf(emb: pd.Series) -> pd.Series:
         mat = np.vstack(emb.to_numpy())
-        out = []
+        planes = _planes_all(mat.shape[1], n_planes, n_tables)
         sigs = []
         for t in range(n_tables):
             proj = mat @ planes[t].T  # (n, n_planes)
@@ -212,7 +299,8 @@ def ann_lsh_topk(
             sig = np.zeros(len(mat), dtype=np.uint64)
             for p in range(n_planes):
                 sig = (sig << np.uint64(1)) | bits[:, p]
-            sigs.append((np.uint64(t) << np.uint64(60)) | sig)
+            # bucket id unique per (table, signature): t * 2^p + sig
+            sigs.append((np.uint64(t) << np.uint64(n_planes)) | sig)
         stacked = np.stack(sigs, axis=1).astype(np.int64)
         return pd.Series(list(stacked))
 

@@ -64,8 +64,12 @@ def sketch_text(text: str, params: SketchParams, name: str = "") -> OracleSketch
     max_hash = params.max_hash
     kept: set[int] = set()
     if params.algo == "xxh64":
-        # JVM mode tokenization: lower + whitespace split (no NFC;
-        # ASCII-equivalent to the frozen spec, documented in params).
+        # JVM mode tokenization: lower + Unicode-whitespace split, NO NFC
+        # (Spark has no NFC builtin; the divergence from the frozen
+        # xxh3-path spec is deliberate and documented in normalize.py).
+        # str.split()'s whitespace class == the Spark-side regex
+        # [\p{IsWhite_Space}\x1c-\x1f], verified by the non-ASCII parity
+        # test in tests/test_jvm_mode.py.
         # Shingle hash = seed-chained XXH64 over the k tokens, exactly
         # Spark's multi-arg xxhash64(tok_i..tok_{i+k-1}).
         toks = [t.encode("utf-8") for t in text.lower().split()]

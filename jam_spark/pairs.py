@@ -7,8 +7,11 @@ granularity:
    ≅ the LMDB postings probe (``src/compare.rs:344-352``); Catalyst picks
    the physical join, AQE handles skew; hot bands are additionally thinned
    by a deterministic cap (north_rule's salted-keys concern).
-2. verify — exact sorted-set intersection of the two real sketches
-   (``src/compare.rs:170-203``) as a vectorized pandas UDF.
+2. verify — exact set intersection of the two real sketches
+   (``src/compare.rs:170-203``) as the JVM built-in
+   ``size(array_intersect(a, b))`` — sketch arrays are distinct by
+   construction, so |intersect| == the reference's sorted-merge count;
+   the whole verify stage stays inside whole-stage codegen (no Python).
 3. score — index semantics ``|A∩B| / min(|A|,|B|) × 100``
    (``src/compare.rs:358-364``) or all-pairs semantics
    ``|A∩B| / max × fraction × 100`` (``src/compare.rs:171,205-227``),
@@ -18,11 +21,8 @@ granularity:
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .bands import make_band_udf
 from .params import SketchParams
@@ -96,21 +96,14 @@ def candidate_pairs(bands: DataFrame, id_col: str = "url") -> DataFrame:
     )
 
 
-@F.pandas_udf(T.IntegerType())
-def _num_common_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+def _num_common_col(a, b):
     """Exact sketch-intersection size (sorted-merge semantics,
-    ``src/compare.rs:170-203``). Arrays are unique by construction."""
-    out = np.empty(len(sa), dtype=np.int32)
-    for i, (x, y) in enumerate(zip(sa, sb)):
-        if x is None or y is None or len(x) == 0 or len(y) == 0:
-            out[i] = 0
-        else:
-            out[i] = np.intersect1d(
-                np.asarray(x, dtype=np.int64),
-                np.asarray(y, dtype=np.int64),
-                assume_unique=True,
-            ).size
-    return pd.Series(out)
+    ``src/compare.rs:170-203``) as a JVM column expression. Sketch arrays
+    are distinct by construction, so ``size(array_intersect(a, b))``
+    equals the reference's merge count; nulls/empties score 0."""
+    return F.when(
+        a.isNull() | b.isNull(), F.lit(0)
+    ).otherwise(F.size(F.array_intersect(a, b))).cast("int")
 
 
 def verify_pairs(
@@ -136,7 +129,9 @@ def verify_pairs(
         candidates.join(sk.withColumnsRenamed({"_vid": "id_a", "_vsketch": "sketch_a", "_vn": "n_a"}), "id_a")
         .join(sk.withColumnsRenamed({"_vid": "id_b", "_vsketch": "sketch_b", "_vn": "n_b"}), "id_b")
     )
-    j = j.withColumn("num_common", _num_common_udf("sketch_a", "sketch_b"))
+    j = j.withColumn(
+        "num_common", _num_common_col(F.col("sketch_a"), F.col("sketch_b"))
+    )
     if params.scorer == "index":
         # num_kmers = min(|A|,|B|)  (src/compare.rs:358-364)
         j = j.withColumn("num_kmers", F.least("n_a", "n_b"))

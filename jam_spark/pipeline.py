@@ -2,23 +2,24 @@
 checkpointed/resumable variant lives in ``checkpoint.py``).
 
     pages (url, warc_ts, html, text, lang)
-      │  exact-dup pre-group on md5(text)           [JVM only, no UDF]
+      │  map-side: md5(text) fingerprint + sketch per row [one scan,
+      ▼            text never shuffled]
+    enriched (url, text_fp, sketch)
+      │  groupBy(text_fp) with map-side combine → exact-dup collapse
       ▼
-    reps (url, text)          members (url, text_fp, rep_url)
-      │  sketch_udf (Arrow)
-      ▼
-    sketches (url, sketch array<long>, num_hashes)
+    sketches (url, sketch array<long>, num_hashes)   — reps only
       │  band_udf + posexplode → thin hot bands → self-join
       ▼
-    candidates (id_a, id_b) → verify (exact intersection) → pairs
+    candidates (id_a, id_b) → verify (array_intersect) → pairs
       │  hash-min connected components
       ▼
     clusters (url, cluster_id)   — cluster_id = min member url
 
-The exact pre-group mirrors nothing in the reference (it compares every
-sketch); it is the web-scale move that removes the dominant skew source
-(boilerplate/exact mirrors) BEFORE the shuffle-heavy stages, and exact
-duplicates provably share identical sketches, so results are unchanged.
+The exact-dup collapse mirrors nothing in the reference (it compares
+every sketch); it is the web-scale move that removes the dominant skew
+source (boilerplate/exact mirrors) BEFORE the shuffle-heavy band/pair
+stages, and exact duplicates provably share identical sketches, so
+results are unchanged.
 """
 
 from __future__ import annotations
@@ -32,14 +33,6 @@ from .params import SketchParams
 from .sketch import jvm_sketch_col, make_sketch_udf
 
 
-def exact_groups(pages: DataFrame) -> DataFrame:
-    """(url, text_fp, rep_url): md5-text fingerprint and the minimum url
-    of each identical-text group (the group's representative)."""
-    fp = pages.select("url", F.md5(F.col("text")).alias("text_fp"))
-    reps = fp.groupBy("text_fp").agg(F.min("url").alias("rep_url"))
-    return fp.join(reps, "text_fp").select("url", "text_fp", "rep_url")
-
-
 def sketch_stage(
     pages: DataFrame,
     params: SketchParams,
@@ -51,42 +44,61 @@ def sketch_stage(
     sketches:   (url, sketch array<long>, num_hashes int) — reps only.
     membership: (url, rep_url) for every input row.
 
-    The rep set is repartitioned before the sketch UDF so the (CPU-bound)
-    hashing uses the full task parallelism even when the source has few
-    input splits.
+    Scale shape (the north_rule scaling gate lives here): the heavy
+    ``text`` column is read ONCE and never shuffled. Every row is
+    sketched map-side during the scan (exact duplicates recompute an
+    identical sketch — cheap CPU bought at the price of zero text
+    movement; the previous design sketched reps only but paid a full-text
+    shuffle join plus a second scan, which capped N→4N scaling at ~0.58).
+    Exact-dup groups then collapse in a map-side-combinable groupBy on the
+    16-byte md5 fingerprint — shuffle bytes are (fp, url, sketch), with
+    same-partition duplicates already merged by the partial aggregate.
+    Membership re-attaches rep urls over the narrow (url, fp) projection.
     """
     if params.algo == "xxh64":
         sketch_col = jvm_sketch_col(params)
     else:
         sketch_col = make_sketch_udf(params)(F.col("text"))
     if dedup_exact_first:
-        # persist the (url, text_fp, rep_url) relation: it feeds the rep
-        # filter, the membership projection, rep_nodes, and the final
-        # label join — uncached, each would rescan + re-md5 the full text
-        groups = exact_groups(pages).persist()
-        membership = groups.select("url", "rep_url")
-        # the url-keyed shuffle join IS the partitioning for the UDF — no
-        # second repartition of the heavy text column. SHUFFLE_HASH: a
-        # sort-merge join would SORT the text rows (dominates the stage);
-        # hash join needs only the small rep-url side in memory per task.
-        reps = (
-            pages.join(
-                groups.filter(F.col("url") == F.col("rep_url"))
-                .select("url")
-                .hint("SHUFFLE_HASH"),
-                "url",
-            )
+        # sketch branch: fingerprint + sketch computed side by side in one
+        # map-only pass over the scan. identical text ⇒ identical sketch,
+        # so any_value is exact; min/any_value both partial-aggregate
+        # map-side (no skew: a million-mirror page collapses to one row
+        # per map partition before the shuffle).
+        enriched = pages.select(
+            "url",
+            F.md5(F.col("text")).alias("text_fp"),
+            sketch_col.alias("sketch"),
         )
+        reps = enriched.groupBy("text_fp").agg(
+            F.min("url").alias("url"),
+            F.any_value("sketch").alias("sketch"),
+        )
+        # membership branch: a SEPARATE narrow (url, md5) projection —
+        # Catalyst prunes the sketch expression out of this second scan,
+        # so the expensive sketch runs exactly once and the heavy text
+        # column is never shuffled (scans are cheap; shuffles are not).
+        # reps arrives already hash-partitioned by text_fp from the
+        # groupBy, so the join reuses that exchange.
+        fps = pages.select("url", F.md5(F.col("text")).alias("text_fp"))
+        membership = (
+            fps.join(
+                reps.select("text_fp", F.col("url").alias("rep_url")),
+                "text_fp",
+            )
+            .select("url", "rep_url")
+        )
+        sketches = reps.select("url", "sketch")
     else:
         membership = pages.select("url", F.col("url").alias("rep_url"))
         n_partitions = (
             n_partitions
             or pages.sparkSession.sparkContext.defaultParallelism
         )
-        reps = pages.repartition(n_partitions, "url")
-    sketches = reps.select(
-        "url", sketch_col.alias("sketch")
-    ).withColumn("num_hashes", F.size("sketch"))
+        sketches = pages.repartition(n_partitions, "url").select(
+            "url", sketch_col.alias("sketch")
+        )
+    sketches = sketches.withColumn("num_hashes", F.size("sketch"))
     return sketches, membership
 
 

@@ -28,13 +28,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     driver_mem: str = "24g",
+    max_partition_bytes: int = 32 * 1024 * 1024,
 ) -> SparkSession:
+    """``max_partition_bytes`` sizes parquet scan splits. The sketch is
+    computed INSIDE the scan stage (map-side, no shuffle), so scan splits
+    ARE the sketch parallelism: the 128MB default caps a ~1GB corpus at
+    ~8 tasks and flatlines the N→4N scaling curve. 32MB keeps small-ish
+    corpora parallel; at 100TB any value yields abundant splits."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", str(max_partition_bytes))
+        # Throughput GC: the codegen'd sketch expression allocates token/
+        # gram arrays per row; G1's 200ms pause target makes it burn 2-3x
+        # the CPU of the actual work at >=16 threads (measured: the same
+        # job, 185s CPU under G1 vs 75s under ParallelGC). Batch analytics
+        # has no latency SLO — the throughput collector is strictly better
+        # here, and the flag applies unchanged to real executors.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -340,14 +340,29 @@ def jvm_sketch_col(params: SketchParams, text_col: str = "text"):
     if params.algo != "xxh64":
         raise ValueError("jvm_sketch_col requires algo='xxh64'")
     max_hash = params.max_hash
-    assert max_hash < (1 << 63)
+    # fscale >= 2 (enforced in params) ⇒ max_hash <= 2^63: every retained
+    # hash is a non-negative signed long. At exactly 2^63 (fscale=2) the
+    # strict h < max_hash filter degenerates to h >= 0 — lit(2^63) itself
+    # would overflow the signed long literal, so express it that way.
+    assert max_hash <= (1 << 63)
+    if max_hash == (1 << 63):
+        keep_fn = lambda h: h >= 0  # noqa: E731
+    else:
+        keep_fn = lambda h: (h >= 0) & (h < F.lit(max_hash))  # noqa: E731
     # IMPORTANT: the token array must be a bound lambda variable, not an
     # inline subexpression — Catalyst inlines unaliased subtrees into
     # every lambda element, re-running split() per WINDOW and turning the
     # stage O(len^2). One enclosing transform gives `t` a single
     # evaluation per row.
+    #
+    # Whitespace class: Java's \s is ASCII-only; Python's str.split()
+    # (the oracle's tokenizer) splits on the Unicode White_Space property
+    # PLUS the four ASCII separator controls 1C-1F. The regex matches
+    # that set exactly, so JVM sketches equal oracle sketches on
+    # non-ASCII web text too (NBSP, ideographic space, NEL, ...); the
+    # empty-token filter absorbs leading/trailing whitespace.
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        F.split(F.lower(F.col(text_col)), r"[\p{IsWhite_Space}\x1c-\x1f]+"),
         lambda t: t != "",
     )
 
@@ -365,7 +380,7 @@ def jvm_sketch_col(params: SketchParams, text_col: str = "text"):
         grams = F.when(F.size(t) >= params.k, grams).otherwise(
             F.array().cast("array<long>")
         )
-        kept = F.filter(grams, lambda h: (h >= 0) & (h < F.lit(max_hash)))
+        kept = F.filter(grams, keep_fn)
         sketch = F.array_sort(F.array_distinct(kept))
         if params.nmax is not None:
             sketch = F.slice(sketch, 1, params.nmax)

@@ -84,3 +84,36 @@ def test_connected_components_chain(spark):
         for r in connected_components(edges2, nodes).collect()
     }
     assert labels2 == {"a": "a", "b": "a", "c": "c", "d": "c", "z": "z"}
+
+
+def test_distributed_cc_reliable_checkpoint(spark, tmp_path):
+    """The >threshold CC path with a checkpoint_dir must write RELIABLE
+    checkpoints (files under the dir — survive executor loss) and agree
+    with the driver union-find labels."""
+    import os
+
+    from jam_spark.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"u{i:02d}", f"u{i+1:02d}") for i in range(10)]
+        + [("a", "b"), ("c", "d")],
+        ["id_a", "id_b"],
+    )
+    ckdir = str(tmp_path / "cc_ck")
+    labels = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            edges, driver_threshold=0, checkpoint_dir=ckdir
+        ).collect()
+    }
+    want = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert labels == want
+    ck_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckdir)
+        for f in fs
+    ]
+    assert ck_files, "no reliable checkpoint files written"

@@ -104,6 +104,69 @@ def test_write_pairs_tsv(spark, tmp_path):
     assert header.split("\t") == [
         "from", "to", "num_common", "num_kmers", "estimated_containment"
     ]
-    # reverse=True swaps name order; sort is score-desc
-    assert data[0].split("\t")[:2] == ["d", "c"]
+    # reference Display restores the original comparison order on reverse
+    # rows (src/compare.rs:40-62): names always print as (id_a, id_b);
+    # sort is score-desc
+    assert data[0].split("\t")[:2] == ["c", "d"]
     assert data[1].split("\t")[:2] == ["a", "b"]
+
+
+def test_read_sourmash_envelope_reference_format(spark, tmp_path):
+    """A fixture file in the REFERENCE's nested sourmash envelope shape
+    (src/signature.rs:15-103: array of records, each with a signatures
+    list of {mins, ksize, max_hash} MinHash objects) must parse."""
+    import json as _json
+
+    from jam_spark.io import read_sourmash_envelope
+    from jam_spark.params import SketchParams
+
+    params = SketchParams(k=5, fscale=8)
+    envelope = [
+        {
+            "class": "sourmash_signature",
+            "email": "",
+            "hash_function": "0.murmur64",
+            "filename": "doc_a.txt",
+            "name": "doc_a",
+            "license": "CC0",
+            "version": 0.4,
+            "signatures": [
+                {
+                    "num": 0,
+                    "ksize": 5,
+                    "seed": 42,
+                    "max_hash": params.max_hash,
+                    "md5sum": "d41d8cd98f00b204e9800998ecf8427e",
+                    "molecule": "dna",
+                    "mins": [3, 1 << 62, (1 << 63) + 5],
+                }
+            ],
+        },
+        {
+            "class": "sourmash_signature",
+            "filename": "doc_b.txt",
+            "signatures": [
+                {"ksize": 5, "max_hash": params.max_hash, "mins": [7, 9]}
+            ],
+        },
+    ]
+    p = tmp_path / "sigs"
+    p.mkdir()
+    (p / "sig1.json").write_text(_json.dumps(envelope))
+    got = {
+        r["url"]: [h & (2**64 - 1) for h in r["sketch"]]
+        for r in read_sourmash_envelope(
+            spark, str(p), expected=params
+        ).collect()
+    }
+    # the reference names sketches by filename (src/signature.rs:57-62)
+    assert got == {
+        "doc_a.txt": [3, 1 << 62, (1 << 63) + 5],
+        "doc_b.txt": [7, 9],
+    }
+
+    # config mismatch refused, mirroring src/signature.rs:41-55
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not match expected"):
+        read_sourmash_envelope(spark, str(p), expected=SketchParams(k=7))

@@ -59,3 +59,37 @@ def test_jvm_sketch_plan_is_codegen(spark, pages_df):
     q = pages_df.select("url", jvm_sketch_col(JVM_PARAMS).alias("sk"))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jvm_sketch_non_ascii_parity(spark):
+    """Unicode tokenization parity: the JVM split regex must equal
+    Python str.split()'s whitespace class (NBSP, ideographic space, NEL,
+    line/para separators, 1C-1F controls), and lower() must agree, so
+    non-ASCII web text gets identical sketches to the documented oracle
+    semantics."""
+    base = [
+        "F\u00fc\u00dfe na\u00efve CAF\u00c9 \u00fcber\u00a0alles stra\u00dfe GR\u00dcSSE",
+        "\u65e5\u672c\u8a9e\u3000\u30c6\u30ad\u30b9\u30c8 \u6f22\u5b57 \u30c8\u30fc\u30af\u30f3 \u5206\u5272 \u30c6\u30b9\u30c8 \u6587\u66f8",
+        "mixed\u2028lines\u2029and\u0085nel\u2009thin\u202fspace here",
+        "tab\tnewline\ncr\r fs\x1c gs\x1d rs\x1e us\x1f end token",
+        "\u03a3\u039f\u03a6\u039f\u03a3 \u0391\u0398\u0397\u039d\u0391 \u0416\u0423\u0420\u041d\u0410\u041b \u00e7\u0131lg\u0131n \u00f6l\u00e7\u00fc",
+        "emoji \U0001f389 mixed ascii works too yes",
+    ]
+    # repeat so every doc clears k=5 tokens with room for many shingles
+    texts = [" ".join([t] * 4) for t in base]
+    params = SketchParams(algo="xxh64", fscale=2)
+    df = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], ["url", "text"]
+    )
+    from jam_spark.sketch import jvm_sketch_col
+
+    got = {
+        r["url"]: [h & (2**64 - 1) for h in r["sk"]]
+        for r in df.select(
+            "url", jvm_sketch_col(params).alias("sk")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want = O.sketch_text(t, params).hashes
+        assert len(want) > 0, f"oracle produced empty sketch for case {i}"
+        assert got[f"u{i}"] == want, base[i]

@@ -90,3 +90,70 @@ def test_simhash_near_dups_close(spark):
 
     assert hamming(fps[1], fps[2]) < hamming(fps[1], fps[3])
     assert hamming(fps[1], fps[2]) < hamming(fps[2], fps[3])
+
+
+def test_cosine_topk_fast_matches_exact(spark):
+    """Distributed block top-k == brute-force ranks (values up to float
+    summation order; ids/ranks exactly equal)."""
+    from jam_spark.ops.similarity import cosine_topk, cosine_topk_fast
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(embs, k=5).collect()
+    }
+    # small block size so multiple blocks are actually exercised
+    fast = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk_fast(embs, k=5, block_size=16).collect()
+    }
+    assert set(exact) == set(fast)
+    for key, (nid, cos) in exact.items():
+        fnid, fcos = fast[key]
+        assert fnid == nid, (key, nid, fnid)
+        assert abs(fcos - cos) < 1e-9
+
+
+def test_cosine_topk_fast_tiny_corpus(spark):
+    """n <= k+1 must degrade gracefully (argpartition clamp)."""
+    from jam_spark.ops.similarity import cosine_topk_fast
+
+    embs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = cosine_topk_fast(embs, k=5).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    assert set(by_vec) == {1, 2, 3}
+    assert all(len(v) == 2 for v in by_vec.values())  # k clamped to n-1
+
+
+def test_ann_auto_planes_bounds_buckets(spark):
+    """auto_n_planes holds the expected bucket size ~constant: at 10x the
+    corpus, bucket sizes must stay bounded (not grow 10x)."""
+    from jam_spark.ops.similarity import _planes_all, auto_n_planes
+
+    assert auto_n_planes(2_500) == 5
+    assert auto_n_planes(25_000) == 8
+    assert auto_n_planes(10**12) == 24  # capped
+    rng = np.random.RandomState(7)
+
+    def max_bucket(n):
+        n_planes = auto_n_planes(n)
+        mat = rng.randn(n, 16)
+        planes = _planes_all(16, n_planes, 1)[0]
+        bits = (mat @ planes.T) > 0
+        sig = np.zeros(n, dtype=np.int64)
+        for p in range(n_planes):
+            sig = (sig << 1) | bits[:, p]
+        _, counts = np.unique(sig, return_counts=True)
+        return counts.max(), n / (1 << n_planes)
+
+    m1, e1 = max_bucket(2_500)
+    m10, e10 = max_bucket(25_000)
+    # expected bucket size stays ~constant across 10x; observed max stays
+    # within a small multiple of expectation (random planes, not balanced)
+    assert e10 <= 2 * e1
+    assert m10 <= 6 * e10, (m10, e10)

@@ -118,3 +118,23 @@ def test_hot_cluster_survives_aggressive_thinning(spark, corpus_pages, pages_df)
     assert len(template_cluster) >= 100
     labels = {got[u] for u in template_cluster}
     assert len(labels) == 1, f"template cluster fragmented into {len(labels)}"
+
+
+def test_verify_stage_is_jvm_only(spark):
+    """The verify stage (candidate join + intersection + scoring) must
+    contain NO Python evaluation node — num_common is
+    size(array_intersect(...)), a whole-stage-codegen expression."""
+    from jam_spark.pairs import verify_pairs
+
+    sketches = spark.createDataFrame(
+        [("a", [1, 2, 3], 3), ("b", [1, 2, 4], 3)],
+        ["url", "sketch", "num_hashes"],
+    )
+    cands = spark.createDataFrame([("a", "b")], ["id_a", "id_b"])
+    q = verify_pairs(cands, sketches, SketchParams(cutoff=0.0))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = q.collect()[0]
+    # golden {1,2,3}x{1,2,4}: common=2, min-denom=3, 66.66...
+    assert (row["num_common"], row["num_kmers"]) == (2, 3)
+    assert abs(row["similarity"] - 200.0 / 3.0) < 1e-9

@@ -94,3 +94,21 @@ def test_metrics_lineage_recorded(spark, small_pages, tmp_path):
     st = ck.stats()
     assert st["n_pages"] == small_pages.count()
     assert st["n_clusters"] <= st["n_sketches"]
+
+
+def test_incremental_append_invalidates_downstream(spark, tmp_path):
+    """M2/A1 regression (round-1 advice): appending new pages to a
+    COMPLETED run must not silently reuse the stale bands/pairs/clusters
+    tables — the resumed run's clusters must equal a fresh full run."""
+    params = SketchParams()
+    pages_all = spark.createDataFrame(
+        pages_to_pandas(generate_pages(n_docs=200, seed=11))
+    ).cache()
+    first = pages_all.limit(150)
+    root = str(tmp_path / "ck6")
+
+    CheckpointedDedup(spark, root, params).run(first)  # complete run
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert set(got) == set(want)
+    assert got == want
