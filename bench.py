@@ -30,7 +30,13 @@ BENCH_PAGES = int(os.environ.get("JAM_BENCH_PAGES", "20000"))
 def _bench_corpus_path() -> str:
     cache = os.path.join(REPO, ".cache")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"pages_{BENCH_PAGES}.parquet")
+    # row_group_size: Spark cannot split WITHIN a parquet row group, and
+    # the sketch runs map-side INSIDE the scan — row groups ARE the
+    # sketch-stage parallelism ceiling. Target >= 128 groups so even a
+    # 20k-page corpus feeds 32 cores with 4 waves (~1.8 MB groups);
+    # floor 512 keeps groups from degenerating into per-row pages.
+    rg = max(512, BENCH_PAGES // 128)
+    path = os.path.join(cache, f"pages_{BENCH_PAGES}_rg{rg}.parquet")
     if not os.path.exists(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -45,12 +51,10 @@ def _bench_corpus_path() -> str:
             pdf = pages_to_pandas(generate_pages(n_docs=BENCH_PAGES, seed=42))
         # pyarrow defaults to ns timestamps, which Spark's parquet reader
         # rejects; the bench only needs (url, text, lang) anyway.
-        # row_group_size: Spark cannot split WITHIN a parquet row group —
-        # the default (1M rows) would make the whole corpus one serial scan
         pq.write_table(
             pa.Table.from_pandas(pdf[["url", "text", "lang"]]),
             path,
-            row_group_size=4096,
+            row_group_size=rg,
         )
     return path
 

@@ -134,8 +134,14 @@ class CheckpointedDedup:
             self._invalidate("bands", "pairs", "clusters")
             return self._read("sketches"), self._read("membership")
         sketches, membership = sketch_stage(pages, self.params)
-        out_m = self._write(membership, "membership")
+        # write sketches FIRST with a persist pinned: membership's rep
+        # side is a projection of this DataFrame, so its join then reads
+        # the cache — without this, writing membership would re-run the
+        # whole scan+sketch+groupBy a second time
+        sketches = sketches.persist()
         out_s = self._write(sketches, "sketches")
+        out_m = self._write(membership, "membership")
+        sketches.unpersist()
         return out_s, out_m
 
     def run_bands(self, sketches: DataFrame) -> DataFrame:

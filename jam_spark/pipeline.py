@@ -48,8 +48,12 @@ def sketch_stage(
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (sketches, membership).
 
-    sketches:   (url, sketch array<long>, num_hashes int) — reps only.
-    membership: (url, rep_url) for every input row.
+    sketches:   (url, text_fp, sketch array<long>, num_hashes int) —
+                reps only (text_fp omitted when dedup_exact_first=False).
+    membership: (url, rep_url) for every input row. Its plan references
+                the returned ``sketches`` DataFrame — persist sketches
+                BEFORE materializing membership and the join is served
+                from cache (one sketch pass total).
 
     Scale shape (the north_rule scaling gate lives here): the heavy
     ``text`` column is read ONCE and never shuffled. Every row is
@@ -66,6 +70,13 @@ def sketch_stage(
         sketch_col = jvm_sketch_col(params)
     else:
         sketch_col = make_sketch_udf(params)(F.col("text"))
+    # the sketch runs map-side inside the scan, so scan partitions ARE
+    # its parallelism. A pathological input (one giant parquet row group)
+    # would serialize the CPU-heaviest stage — repartition only then; at
+    # 100TB inputs always carry >= cores splits and this adds no shuffle.
+    spark_parallelism = pages.sparkSession.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < spark_parallelism:
+        pages = pages.repartition(spark_parallelism)
     if dedup_exact_first:
         # sketch branch: fingerprint + sketch computed side by side in one
         # map-only pass over the scan. identical text ⇒ identical sketch,
@@ -77,25 +88,28 @@ def sketch_stage(
             F.md5(F.col("text")).alias("text_fp"),
             sketch_col.alias("sketch"),
         )
-        reps = enriched.groupBy("text_fp").agg(
-            F.min("url").alias("url"),
-            F.any_value("sketch").alias("sketch"),
+        sketches = (
+            enriched.groupBy("text_fp")
+            .agg(
+                F.min("url").alias("url"),
+                F.any_value("sketch").alias("sketch"),
+            )
+            .select("url", "text_fp", "sketch", F.size("sketch").alias("num_hashes"))
         )
-        # membership branch: a SEPARATE narrow (url, md5) projection —
-        # Catalyst prunes the sketch expression out of this second scan,
-        # so the expensive sketch runs exactly once and the heavy text
+        # membership branch: the rep side is a projection OF THE RETURNED
+        # sketches DataFrame, so when the caller persists sketches (every
+        # pipeline does) this join reads the cache instead of re-running
+        # scan+sketch+groupBy — the fps side is a narrow (url, md5)
+        # projection Catalyst prunes the sketch out of. The heavy text
         # column is never shuffled (scans are cheap; shuffles are not).
-        # reps arrives already hash-partitioned by text_fp from the
-        # groupBy, so the join reuses that exchange.
         fps = pages.select("url", F.md5(F.col("text")).alias("text_fp"))
         membership = (
             fps.join(
-                reps.select("text_fp", F.col("url").alias("rep_url")),
+                sketches.select("text_fp", F.col("url").alias("rep_url")),
                 "text_fp",
             )
             .select("url", "rep_url")
         )
-        sketches = reps.select("url", "sketch")
     else:
         membership = pages.select("url", F.col("url").alias("rep_url"))
         n_partitions = (
@@ -104,8 +118,7 @@ def sketch_stage(
         )
         sketches = pages.repartition(n_partitions, "url").select(
             "url", sketch_col.alias("sketch")
-        )
-    sketches = sketches.withColumn("num_hashes", F.size("sketch"))
+        ).withColumn("num_hashes", F.size("sketch"))
     return sketches, membership
 
 
