@@ -182,14 +182,33 @@ def xxh3_64(data: bytes, seed: int = 0) -> int:
             acc = (acc + _mix16(data, 16 * i, sec, 16 * (i - 8) + 3, seed)) & M64
         acc = (acc + _mix16(data, n - 16, sec, 136 - 17, seed)) & M64
         return _xxh3_avalanche(acc)
-    if seed != 0:
-        raise NotImplementedError("long-input xxh3 with nonzero seed")
-    return _xxh3_long(data)
+    return _xxh3_long(data, _custom_secret(seed))
 
 
-def _xxh3_long(data: bytes) -> int:
+def _custom_secret(seed: int) -> bytes:
+    """XXH3_initCustomSecret: the long-input path with seed != 0 runs the
+    seedless algorithm over a derived secret — kSecret with +seed/-seed
+    applied to alternating 8-byte lanes (public XXH3 spec / xxhash.h
+    XXH3_INIT_ACC..XXH3_initCustomSecret). No external golden vector was
+    available in this sandbox for the seeded >240B path (no network, no
+    xxhash module, no crate cache); the derivation below is the complete
+    spec transform, and the pipeline itself only ever uses seed 0 (the
+    seeded path exists to close the API, not as a hot path)."""
+    if seed == 0:
+        return KSECRET
+    out = bytearray(192)
+    for i in range(12):
+        lo = (_r64(KSECRET, 16 * i) + seed) & M64
+        hi = (_r64(KSECRET, 16 * i + 8) - seed) & M64
+        out[16 * i : 16 * i + 8] = lo.to_bytes(8, "little")
+        out[16 * i + 8 : 16 * i + 16] = hi.to_bytes(8, "little")
+    return bytes(out)
+
+
+def _xxh3_long(data: bytes, sec: bytes = None) -> int:
     n = len(data)
-    sec = KSECRET
+    if sec is None:
+        sec = KSECRET
     acc = [
         PRIME32_3, PRIME64_1, PRIME64_2, PRIME64_3,
         PRIME64_4, PRIME32_2, PRIME64_5, PRIME32_1,

@@ -101,3 +101,24 @@ def test_hash_bit_balance():
     for bit in range(64):
         frac = float(((h >> np.uint64(bit)) & np.uint64(1)).mean())
         assert 0.485 < frac < 0.515, f"bit {bit}: {frac}"
+
+
+def test_xxh3_long_seeded_custom_secret():
+    """Seeded >240B path (XXH3_initCustomSecret spec transform): the
+    seed=0 goldens above pin the shared long-input loop; here we pin the
+    seeded path's determinism, seed-sensitivity, and the spec identity
+    that seed=0 derives kSecret itself (so both paths share one code
+    path). No external golden was available in-sandbox (no network /
+    xxhash module / crate cache) — documented in hashes._custom_secret."""
+    from jam_spark.hashes import KSECRET, _custom_secret, xxh3_64
+
+    data = bytes(range(256)) * 4  # 1024 B > 240
+    assert _custom_secret(0) == KSECRET
+    s42 = _custom_secret(42)
+    assert len(s42) == 192 and s42 != KSECRET
+    a = xxh3_64(data, seed=42)
+    assert a == xxh3_64(data, seed=42)
+    assert a != xxh3_64(data)
+    assert xxh3_64(data, seed=43) != a
+    # the 240/241 boundary stays continuous in API terms (both defined)
+    assert xxh3_64(data[:240], seed=7) != xxh3_64(data[:241], seed=7)
