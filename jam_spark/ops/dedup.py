@@ -19,6 +19,17 @@ from ..pipeline import dedup_pipeline, pairs_stage, sketch_stage
 from .text import _TOKENS, _tokens_col
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Map-heavy ops compute inside the scan stage; a pathological input
+    (one giant parquet row group) would serialize them. Repartition only
+    in that case — at 100TB inputs always carry >= cores splits and this
+    is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------- exact
 
 def exact_dedup_groups(documents: DataFrame) -> DataFrame:
@@ -95,17 +106,23 @@ def ngram_jaccard_pairs(
     every scale; pair work is bounded at O(n_grams × max_df²/2).
     """
     # _ngrams_col is array_distinct per doc — explode output is already
-    # (doc_id, gram)-distinct, no shuffle needed
-    grams = documents.select(
+    # (doc_id, gram)-distinct
+    raw = _ensure_parallelism(documents).select(
         "doc_id", F.explode(_ngrams_col(n)).alias("gram")
     )
     hot = (
-        grams.groupBy("gram")
+        raw.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
         .select("gram")
     )
-    grams = grams.join(F.broadcast(hot), "gram", "left_anti")
+    # repartition on the join key: ONE exchange whose output all three
+    # consumers below (sizes, both self-join sides) reuse — without it
+    # the explode + anti-join subtree re-executes per consumer (measured
+    # 2.5× slower) — and the gram-keyed self-join needs no extra shuffle
+    grams = raw.join(F.broadcast(hot), "gram", "left_anti").repartition(
+        "gram"
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("doc_b"), "gram")
