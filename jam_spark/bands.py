@@ -148,6 +148,16 @@ def band_arrays(sketches: list[np.ndarray], params: SketchParams) -> list[np.nda
     return out
 
 
+# Why banding stays an Arrow UDF (and is not a JVM column expression
+# like the sketch): the OPH/fmix64 math is wrapping unsigned 64-bit
+# arithmetic. Spark 4 runs with ANSI SQL enabled by default, where long
+# overflow THROWS — expressing fmix64's two wrapping multiplies would
+# require either flipping spark.sql.ansi.enabled globally (a semantic
+# change for every other query) or decomposing each multiply into
+# sub-31-bit pieces (≥16 multiplies each). Measured, the vectorized
+# numpy path is not the pipeline bottleneck (the band stage is ~15s of a
+# 73s 16-core 1M-doc run, most of it the 57M-row explode+persist, not
+# the UDF), so the Arrow path stays.
 def make_band_udf(params: SketchParams):
     """pandas UDF: sketch array<long> → array<long> of band keys
     (index in the array IS band_id; empty for empty sketches)."""

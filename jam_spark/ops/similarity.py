@@ -136,6 +136,10 @@ def cosine_topk_fast(
         )
     if n > max_exact_n:
         return ann_lsh_topk(embeddings, k=k)
+    # ceil(n / block_size) blocks: small corpora form few blocks (a
+    # 4096² matmul is a trivial single task — forcing more blocks just
+    # buys task/python-worker overhead, measured 4× slower cold); large
+    # corpora parallelize naturally via the n_blocks² block pairs
     n_blocks = -(-n // block_size)
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
