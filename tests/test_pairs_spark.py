@@ -138,3 +138,17 @@ def test_verify_stage_is_jvm_only(spark):
     # golden {1,2,3}x{1,2,4}: common=2, min-denom=3, 66.66...
     assert (row["num_common"], row["num_kmers"]) == (2, 3)
     assert abs(row["similarity"] - 200.0 / 3.0) < 1e-9
+
+
+def test_pairs_stage_plan_has_no_rowwise_python(spark, pages_df):
+    """The whole pairs plan (bands → thin → candidates → verify → remap)
+    must contain no row-at-a-time Python (BatchEvalPython); the only
+    Python left in the flagship path is the Arrow-vectorized band UDF
+    (see bands.py for why that one stays)."""
+    from jam_spark.pipeline import pairs_stage, sketch_stage
+
+    params = SketchParams()
+    sketches, _ = sketch_stage(pages_df.limit(100), params)
+    p = pairs_stage(sketches.persist(), params)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
