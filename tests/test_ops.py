@@ -157,3 +157,17 @@ def test_ann_auto_planes_bounds_buckets(spark):
     # within a small multiple of expectation (random planes, not balanced)
     assert e10 <= 2 * e1
     assert m10 <= 6 * e10, (m10, e10)
+
+
+def test_cosine_topk_fast_falls_back_to_ann(spark):
+    """Above max_exact_n the exact block path would be n² at any constant
+    factor — the call must delegate to the LSH path and still return the
+    same schema."""
+    from jam_spark.ops.similarity import cosine_topk_fast
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_topk_fast(embs, k=3, max_exact_n=10)
+    assert out.columns == ["vec_id", "neighbor_id", "cosine", "rank"]
+    rows = out.collect()
+    assert len(rows) > 0
+    assert max(r["rank"] for r in rows) <= 3
