@@ -49,11 +49,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from jam_spark.ops import dedup, similarity, text
+    from jam_spark.ops import dedup, multimodal, similarity, text
     from jam_spark.params import SketchParams
 
     def q(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from jam_spark._persist import release_all
+
+            # free whatever the PREVIOUS query pinned (its result is
+            # already materialized by the time the next query starts) —
+            # a long-lived session must not accumulate cached RDDs
+            release_all()
             _prep(spark)
             return fn(spark, sf_dir)
 
@@ -88,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_merge_by_source": q(
             lambda s, d: dedup.minhash_merge_by_source(_docs(s, d))
         ),
+        # --- multimodal plumbing (mapInPandas feature extraction over a
+        #     documents-derived media table; DuckDB-checkable columns) ---
+        "media_features": q(
+            lambda s, d: multimodal.media_features(_docs(s, d))
+        ),
         # --- similarity search ---
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embs(s, d))),
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
@@ -96,7 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from jam_spark.ops import dedup, similarity, text
+    from jam_spark.ops import dedup, multimodal, similarity, text
 
     return {
         "exact_dedup_groups": dedup.exact_dedup_groups_sql(),
@@ -109,7 +120,12 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "substring_dup_spans": dedup.substring_dup_spans_sql(),
+        "media_features": multimodal.media_features_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
+        # cosine_topk_fast re-scores its candidate set with the identical
+        # sequential-float64 fold, so its values are bit-equal to the
+        # brute-force baseline — same oracle applies
+        "cosine_topk_fast": similarity.cosine_topk_sql(),
         # minhash_* and ann_lsh_topk intentionally omitted:
         # xxh3/LSH not expressible in ANSI SQL; covered by pytest oracle.
     }

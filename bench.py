@@ -25,6 +25,11 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_PAGES = int(os.environ.get("JAM_BENCH_PAGES", "20000"))
+#: interleaved repetitions per query — this host shows 2-3× load swings
+#: between runs minutes apart, so a single sample cannot attribute a
+#: regression; per-query MEDIAN of >=3 interleaved rounds is reported
+#: (round-robin order so every query sees the same average host weather)
+REPS = int(os.environ.get("JAM_BENCH_REPS", "3"))
 
 
 def _bench_corpus_path() -> str:
@@ -77,34 +82,48 @@ def main() -> None:
     pages = spark.read.parquet(corpus_path).select("url", "text")
     n_pages = pages.count()
 
-    def run(df) -> float:
+    from statistics import median
+
+    from jam_spark._persist import release_all
+
+    def run(make_df) -> float:
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        make_df().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        release_all()  # no cached-RDD buildup across queries/reps
+        return dt
+
+    suite: list[tuple[str, object]] = [
+        ("exact_dedup_groups", lambda: dedup.exact_dedup_groups(docs)),
+        ("token_counts", lambda: text.token_counts(docs)),
+        ("doc_quality", lambda: text.doc_quality(docs)),
+        ("lang_id", lambda: text.lang_id(docs)),
+        ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(docs)),
+        ("simhash", lambda: dedup.simhash(docs)),
+        ("minhash_sketches", lambda: dedup.minhash_sketches(docs)),
+        ("minhash_pairs", lambda: dedup.minhash_pairs(docs)),
+        ("minhash_clusters", lambda: dedup.minhash_clusters(docs)),
+        ("cosine_topk_fast", lambda: similarity.cosine_topk_fast(embs)),
+        ("ann_lsh_topk", lambda: similarity.ann_lsh_topk(embs)),
+        (
+            "pages_dedup",
+            lambda: dedup_pipeline(pages, SketchParams()),
+        ),
+    ]
+
+    samples: dict[str, list[float]] = {name: [] for name, _ in suite}
+    for _rep in range(REPS):
+        for name, make_df in suite:
+            samples[name].append(run(make_df))
 
     timings: dict[str, float] = {}
-
-    def bench(name, df):
-        timings[name] = round(run(df), 3)
-
-    bench("exact_dedup_groups", dedup.exact_dedup_groups(docs))
-    bench("token_counts", text.token_counts(docs))
-    bench("doc_quality", text.doc_quality(docs))
-    bench("lang_id", text.lang_id(docs))
-    bench("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs))
-    bench("simhash", dedup.simhash(docs))
-    bench("minhash_sketches", dedup.minhash_sketches(docs))
-    bench("minhash_pairs", dedup.minhash_pairs(docs))
-    bench("minhash_clusters", dedup.minhash_clusters(docs))
-    bench("cosine_topk_fast", similarity.cosine_topk_fast(embs))
-    bench("ann_lsh_topk", similarity.ann_lsh_topk(embs))
-
-    t0 = time.time()
-    dedup_pipeline(pages, SketchParams()).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    pages_sec = time.time() - t0
-    timings[f"pages_dedup_{n_pages}"] = round(pages_sec, 3)
+    spread: dict[str, list[float]] = {}
+    for name, vals in samples.items():
+        med = median(vals)
+        key = f"pages_dedup_{n_pages}" if name == "pages_dedup" else name
+        timings[key] = round(med, 3)
+        spread[key] = [round(min(vals), 3), round(max(vals), 3)]
+    pages_sec = median(samples["pages_dedup"])
     timings["pages_dedup_docs_per_sec"] = round(n_pages / pages_sec, 1)
 
     total = round(
@@ -118,6 +137,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": REPS,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,15 +1,15 @@
 """Checkpointed, resumable pipeline with per-partition lineage metrics.
 
 north_rule: "resumable from checkpoint with per-partition lineage +
-metrics". Each stage materializes to a parquet table under the
-checkpoint root (production target: Iceberg tables — same layout, the
-writes here are the format-agnostic equivalent. Probed this sandbox:
-``tools/iceberg_probe.py`` → no iceberg-spark-runtime jar, no pyiceberg,
-no network to fetch either, so the Iceberg writer cannot be exercised
-here; on a cluster with the runtime jar, each ``_write`` becomes
-``df.writeTo(tbl).tableProperty("jam.params", params.to_json())`` and
-``params.json``/``_SUCCESS`` are subsumed by table properties +
-snapshots):
+metrics". Stage tables materialize through a storage strategy:
+:class:`_IcebergStore` (``df.writeTo(...).tableProperty("jam.params",
+...)``) when :func:`iceberg_catalog` finds a configured Iceberg
+SparkCatalog, :class:`_ParquetStore` otherwise. This sandbox has no
+iceberg-spark-runtime jar / pyiceberg / network (proved by
+``tools/iceberg_probe.py``), so tests exercise the parquet store and the
+Iceberg branch is gate-tested (skips with reason); on a cluster with the
+jar the Iceberg layer activates via ``iceberg_db=`` with no code change.
+Parquet layout:
 
     root/
       params.json            frozen SketchParams for the whole run
@@ -43,11 +43,119 @@ from .pipeline import pairs_stage, sketch_stage
 STAGES = ("sketches", "membership", "bands", "pairs", "clusters")
 
 
+def iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg SparkCatalog, or None.
+
+    Gate for the real Iceberg table layer (north_rule wording): requires
+    (a) the iceberg-spark-runtime jar on the classpath and (b) a
+    ``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``
+    entry. This sandbox has neither (``tools/iceberg_probe.py``: no jar,
+    no pyiceberg, no network) — the probe then returns None and the
+    parquet store below is used; on a cluster with the runtime jar the
+    Iceberg store activates with no code change."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+    except Exception:
+        return None
+    try:
+        entries = spark.sparkContext.getConf().getAll()
+    except Exception:
+        entries = []
+    for k, v in entries:
+        parts = k.split(".")
+        if (
+            len(parts) == 4
+            and k.startswith("spark.sql.catalog.")
+            and "SparkCatalog" in str(v)
+        ):
+            return parts[3]
+    return None
+
+
+class _ParquetStore:
+    """Stage tables as parquet dirs + _SUCCESS markers under root."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def done(self, stage: str) -> bool:
+        return os.path.exists(os.path.join(self.path(stage), "_SUCCESS"))
+
+    def write(self, df: DataFrame, stage: str, props: dict) -> DataFrame:
+        df.write.mode("overwrite").parquet(self.path(stage))
+        return self.read(stage)
+
+    def append(self, df: DataFrame, stage: str) -> None:
+        df.write.mode("append").parquet(self.path(stage))
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def invalidate(self, stage: str) -> None:
+        import shutil
+
+        shutil.rmtree(self.path(stage), ignore_errors=True)
+
+
+class _IcebergStore:
+    """Stage tables as Iceberg tables ``<catalog>.<db>.<stage>`` with the
+    frozen SketchParams pinned as a table property (the reference pins
+    k/fscale in its LMDB sigs table the same way,
+    /root/reference/src/file_io.rs:222-226). Activated only when
+    :func:`iceberg_catalog` finds a configured catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: str, db: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.db = db
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{db}")
+
+    def tbl(self, stage: str) -> str:
+        return f"{self.catalog}.{self.db}.{stage}"
+
+    def done(self, stage: str) -> bool:
+        return self.spark.catalog.tableExists(self.tbl(stage))
+
+    def write(self, df: DataFrame, stage: str, props: dict) -> DataFrame:
+        w = df.writeTo(self.tbl(stage)).using("iceberg")
+        for k, v in props.items():
+            w = w.tableProperty(k, v)
+        w.createOrReplace()
+        return self.read(stage)
+
+    def append(self, df: DataFrame, stage: str) -> None:
+        df.writeTo(self.tbl(stage)).append()
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.table(self.tbl(stage))
+
+    def invalidate(self, stage: str) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.tbl(stage)}")
+
+
 class CheckpointedDedup:
-    def __init__(self, spark: SparkSession, root: str, params: SketchParams):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        params: SketchParams,
+        iceberg_db: str | None = None,
+    ):
         self.spark = spark
         self.root = root
         self.params = params
+        cat = iceberg_catalog(spark) if iceberg_db else None
+        self.store = (
+            _IcebergStore(spark, cat, iceberg_db)
+            if cat
+            else _ParquetStore(spark, root)
+        )
         os.makedirs(root, exist_ok=True)
         os.makedirs(os.path.join(root, "metrics"), exist_ok=True)
         pfile = os.path.join(root, "params.json")
@@ -65,17 +173,14 @@ class CheckpointedDedup:
                 f.write(params.to_json())
 
     # ---------------------------------------------------------- helpers
-    def _path(self, stage: str) -> str:
-        return os.path.join(self.root, stage)
-
     def _done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        return self.store.done(stage)
 
     def _write(self, df: DataFrame, stage: str) -> DataFrame:
         t0 = time.time()
-        path = self._path(stage)
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        out = self.store.write(
+            df, stage, {"jam.params": self.params.to_json()}
+        )
         per_part = [
             {"partition_id": r["pid"], "rows": r["count"]}
             for r in out.groupBy(F.spark_partition_id().alias("pid"))
@@ -99,16 +204,14 @@ class CheckpointedDedup:
         return out
 
     def _read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(stage))
+        return self.store.read(stage)
 
     def _invalidate(self, *stages: str) -> None:
         """Remove stage tables (and their metrics) whose inputs changed —
         a completed downstream stage computed over a STALE upstream would
         otherwise be reused silently on resume."""
-        import shutil
-
         for stage in stages:
-            shutil.rmtree(self._path(stage), ignore_errors=True)
+            self.store.invalidate(stage)
             mfile = os.path.join(self.root, "metrics", f"{stage}.jsonl")
             if os.path.exists(mfile):
                 os.remove(mfile)
@@ -124,14 +227,50 @@ class CheckpointedDedup:
             )
             if new_pages.limit(1).count() == 0:
                 return existing, membership
-            sk_new, mem_new = sketch_stage(new_pages, self.params)
-            sk_new.write.mode("append").parquet(self._path("sketches"))
-            mem_new.write.mode("append").parquet(self._path("membership"))
-            # the sketch set changed ⇒ every downstream stage is stale;
-            # leaving a _SUCCESS-marked bands/pairs/clusters table in
-            # place would silently return clusters that omit or mislabel
-            # the appended pages on the next run() resume
+            # the sketch set is about to change ⇒ every downstream stage
+            # is stale. Invalidate BEFORE any append: a crash after the
+            # appends but before invalidation would leave _SUCCESS-marked
+            # bands/pairs/clusters in place while membership already
+            # holds the new urls — the next resume would find "no new
+            # pages" and silently return stale clusters.
             self._invalidate("bands", "pairs", "clusters")
+            sk_new, mem_new = sketch_stage(new_pages, self.params)
+            sk_new = sk_new.persist()
+            # cross-batch exact-dup collapse + crash idempotency, both
+            # via the text fingerprint: a new page whose text was already
+            # sketched in an earlier batch adds NO sketch row (its rows
+            # would otherwise only re-merge through a similarity-100
+            # pair — which never comes for sub-k-token texts or
+            # cutoff >= 100), and a retry after a crash between the two
+            # appends re-derives an empty truly_new instead of
+            # duplicating sketch rows (the anti-join sees the rows the
+            # crashed attempt already appended).
+            truly_new = sk_new.join(
+                existing.select("text_fp"), "text_fp", "left_anti"
+            )
+            # membership points at the EXISTING rep when the fp is known
+            mem_adj = (
+                mem_new.join(
+                    sk_new.select(
+                        F.col("url").alias("rep_url"), "text_fp"
+                    ),
+                    "rep_url",
+                )
+                .join(
+                    existing.select(
+                        "text_fp", F.col("url").alias("_old_rep")
+                    ),
+                    "text_fp",
+                    "left",
+                )
+                .select(
+                    "url",
+                    F.coalesce("_old_rep", "rep_url").alias("rep_url"),
+                )
+            )
+            self.store.append(truly_new, "sketches")
+            self.store.append(mem_adj, "membership")
+            sk_new.unpersist()
             return self._read("sketches"), self._read("membership")
         sketches, membership = sketch_stage(pages, self.params)
         # write sketches FIRST with a persist pinned: membership's rep

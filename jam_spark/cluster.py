@@ -8,15 +8,23 @@ pure-Python oracle's union-find), so cluster ids are deterministic and
 restart-stable.
 
 Scale notes: each iteration is one shuffle on the node id; duplicate
-clusters are near-cliques (diameter 1-2) so convergence is fast — the
-giant-cluster / long-chain worst case is bounded by ``max_iter`` and each
-iteration is ``localCheckpoint``ed to cut lineage (SURVEY §7 hard-part 6).
+clusters are near-cliques (diameter 1-2) so convergence is fast. The
+worst case — a near-dup CHAIN A~B~C~… where each adjacent pair clears
+the cutoff — has linear diameter, so plain min-propagation needs
+O(diameter) rounds; every distributed iteration therefore also POINTER-
+JUMPS (label ← label-of-label), which halves label-chain depth per round
+and makes convergence O(log n) on chains (tested on a planted 1k-node
+path). Each iteration is checkpointed to cut lineage (SURVEY §7
+hard-part 6).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: iterations the last _cc_distributed run took (test/diagnostic hook)
+LAST_CC_ITERATIONS: int | None = None
 
 
 def connected_components(
@@ -47,11 +55,13 @@ def connected_components(
     falls back to ``localCheckpoint`` (blocks live on executors — fine
     for tests/ad-hoc local runs, not for production pipelines).
     """
+    from ._persist import track
+
     e0 = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # persist: the edge set is consumed by the size probe and then either
     # collected (driver path) or iterated (distributed path) — without
     # persistence the whole upstream pairs pipeline would recompute
-    e0 = e0.persist()
+    e0 = track(e0)
     n_edges = e0.limit(driver_threshold + 1).count()
     if n_edges <= driver_threshold:
         out = _cc_driver(e0, nodes)
@@ -150,16 +160,41 @@ def _cc_distributed(
     labels = universe.select("url", F.col("url").alias("cluster_id"))
     labels = _cut(labels)
 
+    global LAST_CC_ITERATIONS
+    LAST_CC_ITERATIONS = 0
     for _ in range(max_iter):
+        LAST_CC_ITERATIONS += 1
         # message passing: every node offers its label to its neighbors;
         # new label = min(own, incoming)
         msgs = e.join(
             labels.withColumnRenamed("url", "src"), "src"
         ).select(F.col("dst").alias("url"), "cluster_id")
-        new_labels = _cut(
+        new_labels = (
             labels.unionByName(msgs)
             .groupBy("url")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jump: label ← label(label). Labels are themselves node
+        # ids with the invariant label(v) <= v, so the lookup always hits
+        # and only ever lowers a label — on a chain this halves the
+        # remaining label depth each round (O(log n) total instead of the
+        # O(diameter) that propagation alone needs).
+        new_labels = _cut(
+            new_labels.alias("l")
+            .join(
+                new_labels.select(
+                    F.col("url").alias("cluster_id"),
+                    F.col("cluster_id").alias("_jump"),
+                ).alias("m"),
+                "cluster_id",
+                "left",
+            )
+            .select(
+                "url",
+                F.coalesce(F.col("_jump"), F.col("cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
         )
         changed = (
             new_labels.alias("n")

@@ -11,9 +11,10 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._persist import track
 from ..params import SketchParams
 from ..pipeline import dedup_pipeline, pairs_stage, sketch_stage
 from .text import _TOKENS, _tokens_col
@@ -53,20 +54,35 @@ def exact_dedup_groups_sql() -> str:
 
 
 def exact_dedup_members(documents: DataFrame) -> DataFrame:
-    """(doc_id, canonical_id) via a window min — every doc mapped to the
-    smallest doc_id sharing its exact text."""
-    w = Window.partitionBy(F.md5("text"))
-    return documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.min("doc_id").over(w).cast("long").alias("canonical_id"),
+    """(doc_id, canonical_id) — every doc mapped to the smallest doc_id
+    sharing its exact text.
+
+    Shape: join against the map-side-combined :func:`exact_dedup_groups`
+    aggregate, NOT a ``min() over (partition by md5(text))`` window. A
+    window forces every row of a fingerprint into ONE task and cannot
+    partial-aggregate — at web scale a boilerplate page with 10⁸ mirrors
+    is a single straggler task. The groupBy side collapses mirrors
+    map-side before the shuffle, and the fp-equi-join is AQE-skew-
+    splittable."""
+    groups = exact_dedup_groups(documents).select("text_fp", "canonical_id")
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5("text").alias("text_fp"),
+        )
+        .join(groups, "text_fp")
+        .select("doc_id", "canonical_id")
     )
 
 
 def exact_dedup_members_sql() -> str:
     return """
-        SELECT doc_id::BIGINT AS doc_id,
-               min(doc_id) OVER (PARTITION BY md5(text))::BIGINT AS canonical_id
-        FROM documents
+        WITH groups AS (
+          SELECT md5(text) AS text_fp, min(doc_id)::BIGINT AS canonical_id
+          FROM documents GROUP BY md5(text)
+        )
+        SELECT d.doc_id::BIGINT AS doc_id, g.canonical_id AS canonical_id
+        FROM documents d JOIN groups g ON md5(d.text) = g.text_fp
     """
 
 
@@ -280,8 +296,9 @@ def substring_dup_spans_sql(window: int = 20) -> str:
           SELECT doc_id, u.i - 1 AS pos,
                  md5(array_to_string(t[u.i : u.i + {window} - 1], ' ')) AS fp
           FROM toks,
-               (SELECT unnest(range(1, 20001)) AS i) u  -- bound >= max doc tokens
-          WHERE u.i <= len(t) - {window} + 1
+               -- bound derived from each doc's own length (a fixed bound
+               -- would silently truncate long docs in the oracle only)
+               LATERAL (SELECT unnest(range(1, len(t) - {window} + 2)) AS i) u
         ),
         dup AS (
           SELECT fp FROM pos_fp GROUP BY fp HAVING count(*) > 1
@@ -408,7 +425,7 @@ def minhash_sketches(documents: DataFrame, params: SketchParams | None = None) -
 def minhash_pairs(documents: DataFrame, params: SketchParams | None = None) -> DataFrame:
     params = params or SketchParams()
     sketches, _ = sketch_stage(documents_as_pages(documents), params)
-    p = pairs_stage(sketches.persist(), params)
+    p = pairs_stage(track(sketches), params)
     return p.select(
         F.col("id_a").cast("long").alias("doc_a"),
         F.col("id_b").cast("long").alias("doc_b"),
@@ -428,7 +445,7 @@ def minhash_pairs_allpairs(
 
     params = (params or SketchParams()).with_(scorer="allpairs", cutoff=30.0)
     sketches, _ = sketch_stage(documents_as_pages(documents), params)
-    p = all_pairs_compare(sketches.persist(), params)
+    p = all_pairs_compare(track(sketches), params)
     return p.select(
         F.col("id_a").cast("long").alias("doc_a"),
         F.col("id_b").cast("long").alias("doc_b"),

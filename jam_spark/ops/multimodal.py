@@ -116,6 +116,48 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Deterministic media table DERIVED from the documents table (so a
+    SQL oracle can reproduce it): payload = UTF-8 bytes of
+    ``text || '|' || doc_id``, kind round-robins image/audio/video."""
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3).cast("int") + 1).alias("kind"),
+        F.encode(
+            F.concat_ws("|", F.col("text"), F.col("doc_id").cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+def media_features(documents: DataFrame) -> DataFrame:
+    """Driver-checkable multimodal query: derive a media table from
+    documents, push it through the REAL :func:`extract_features`
+    mapInPandas plumbing (payload bytes stay executor-side), and project
+    the oracle-computable columns (media_id, kind, n_bytes, sha256) —
+    n_bytes/sha256 are computed IN the Arrow-batched Python stage, so a
+    green driver row certifies the multimodal batch path end-to-end."""
+    feats = extract_features(media_from_documents(documents))
+    return feats.select(
+        F.col("media_id").cast("long"),
+        "kind",
+        F.col("n_bytes").cast("long"),
+        "sha256",
+    )
+
+
+def media_features_sql() -> str:
+    return """
+        SELECT doc_id::BIGINT AS media_id,
+               ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
+               octet_length(encode(text || '|' || doc_id::VARCHAR))::BIGINT
+                 AS n_bytes,
+               sha256(text || '|' || doc_id::VARCHAR) AS sha256
+        FROM documents
+    """
+
+
 def synthesize_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests/benchmarks."""
     rows = []

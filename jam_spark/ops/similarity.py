@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .._persist import track
 from ..hashes import M64, xxh3_u64
 
 
@@ -115,19 +116,22 @@ def cosine_topk_fast(
 ) -> DataFrame:
     """Fast exact top-k as a distributed block-nested-loop: vectors are
     hashed into ``ceil(n/block_size)`` blocks, each block is packed into
-    one (ids, float64-matrix) row executor-side, every (query-block,
-    corpus-block) pair streams through a vectorized matmul+argpartition,
-    and per-block top-k candidates merge to the global top-k with an
-    exact window rank. The driver never holds a row — no ``collect()``,
-    no driver-sized broadcast (the previous implementation collected the
-    whole table, a guaranteed driver OOM at web scale). Shuffle volume is
-    n_blocks replicas of the packed table; work is the same n² flops as
-    brute force but BLAS-batched.
+    one (ids, float32-matrix) row executor-side, every (query-block,
+    corpus-block) pair streams through a vectorized matmul+argpartition
+    that SELECTS candidates, and the surviving ≤2k-per-block candidate
+    set is RE-SCORED with the same sequential-float64 fold
+    :func:`cosine_topk` uses — so final (cosine, rank) values are
+    bit-identical to the brute-force baseline and the DuckDB oracle
+    (:func:`cosine_topk_sql` is this function's oracle too). The driver
+    never holds a row — no ``collect()``, no driver-sized broadcast.
+    Shuffle volume is n_blocks replicas of the packed table (float32
+    halves it vs float64 — safe because block scores only pick
+    candidates, never final values); work is the same n² flops as brute
+    force but BLAS-batched.
 
-    Same results as :func:`cosine_topk` up to float summation order
-    (np.dot) — use cosine_topk for bit-exact oracle parity, this one for
-    throughput. Above ``max_exact_n`` vectors exact n² is the wrong tool
-    at any constant factor: falls back to :func:`ann_lsh_topk`.
+    Above ``max_exact_n`` vectors exact n² is the wrong tool at any
+    constant factor: falls back to :func:`ann_lsh_topk` with a
+    ``UserWarning`` (results become approximate).
     """
     n = embeddings.count()
     if n == 0:
@@ -135,16 +139,29 @@ def cosine_topk_fast(
             [], "vec_id long, neighbor_id long, cosine double, rank long"
         )
     if n > max_exact_n:
+        import warnings
+
+        warnings.warn(
+            f"cosine_topk_fast: {n} vectors > max_exact_n={max_exact_n}; "
+            "falling back to approximate ann_lsh_topk",
+            UserWarning,
+            stacklevel=2,
+        )
         return ann_lsh_topk(embeddings, k=k)
     # ceil(n / block_size) blocks: small corpora form few blocks (a
     # 4096² matmul is a trivial single task — forcing more blocks just
     # buys task/python-worker overhead, measured 4× slower cold); large
     # corpora parallelize naturally via the n_blocks² block pairs
     n_blocks = -(-n // block_size)
+    # candidate margin: the float32 block scores pick WHICH pairs reach
+    # the exact re-score; 2k per block absorbs any f32-vs-f64 boundary
+    # flips around the k-th place
+    k_cand = 2 * k
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat.astype(np.float32)
         return pd.DataFrame(
             {
                 "block": [int(pdf["block"].iloc[0])],
@@ -175,52 +192,78 @@ def cosine_topk_fast(
 
     def _block_topk(batches):
         for pdf in batches:
-            out_v, out_n, out_c = [], [], []
+            out_v, out_n = [], []
             for row in pdf.itertuples(index=False):
                 dim = int(row.dim)
                 q_ids = np.asarray(row.q_ids, dtype=np.int64)
                 c_ids = np.asarray(row.c_ids, dtype=np.int64)
-                q = np.frombuffer(row.q_mat, dtype=np.float64).reshape(-1, dim)
-                c = np.frombuffer(row.c_mat, dtype=np.float64).reshape(-1, dim)
+                q = np.frombuffer(row.q_mat, dtype=np.float32).reshape(-1, dim)
+                c = np.frombuffer(row.c_mat, dtype=np.float32).reshape(-1, dim)
                 sims = q @ c.T  # (nq, nc)
                 self_mask = q_ids[:, None] == c_ids[None, :]
                 if self_mask.any():
                     sims = np.where(self_mask, -np.inf, sims)
-                kk = min(k, sims.shape[1] - 1)
-                if kk < sims.shape[1] - 1:
-                    top = np.argpartition(-sims, kk, axis=1)[:, : k]
+                if k_cand < sims.shape[1] - 1:
+                    top = np.argpartition(-sims, k_cand, axis=1)[:, :k_cand]
                 else:
                     top = np.broadcast_to(
                         np.arange(sims.shape[1]), sims.shape
                     )
                 for qi in range(len(q_ids)):
-                    nn = top[qi]
-                    s = sims[qi, nn]
-                    keep = s > -np.inf
-                    nn, s = nn[keep], s[keep]
-                    order = np.lexsort((c_ids[nn], -s))[:k]
-                    nn = nn[order]
+                    nn = top[qi][sims[qi, top[qi]] > -np.inf]
                     out_v.extend([int(q_ids[qi])] * len(nn))
                     out_n.extend(c_ids[nn].tolist())
-                    out_c.extend(sims[qi, nn].tolist())
             yield pd.DataFrame(
                 {
                     "vec_id": pd.array(out_v, dtype="int64"),
                     "neighbor_id": pd.array(out_n, dtype="int64"),
-                    "cosine": pd.array(out_c, dtype="float64"),
                 }
             )
 
-    parts = qb.crossJoin(cb).mapInPandas(
-        _block_topk, schema="vec_id long, neighbor_id long, cosine double"
+    # repartition the block-pair crossJoin so a task holds at most ~64
+    # heavy rows: Arrow feeds mapInPandas min(partition_rows,
+    # maxRecordsPerBatch) rows per batch, and each row carries two packed
+    # block matrices (~block_size×dim×4B) — an unbounded partition would
+    # materialize multi-GB pandas batches at max_exact_n (executor OOM)
+    sc = embeddings.sparkSession.sparkContext
+    n_parts = max(sc.defaultParallelism, -(-(n_blocks * n_blocks) // 64))
+    cand = (
+        qb.crossJoin(cb)
+        .repartition(n_parts)
+        .mapInPandas(_block_topk, schema="vec_id long, neighbor_id long")
+        .distinct()
+    )
+    # exact re-score of the ≤ 2k·n_blocks-per-query candidate set with the
+    # identical sequential-float64 fold cosine_topk uses ⇒ bit-identical
+    # scores; the ~k·n candidate rows are a cheap JVM-side join
+    ea = embeddings.select("vec_id", F.col("embedding").alias("ea"))
+    eb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        cand.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        parts.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("vec_id", "neighbor_id", "cosine", F.col("rank").cast("long"))
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("long"),
+        )
     )
 
 
@@ -270,12 +313,62 @@ def auto_n_planes(n_vectors: int, target_bucket: int = 128) -> int:
     return max(4, min(24, math.ceil(math.log2(max(2.0, n_vectors / target_bucket)))))
 
 
+def thin_hot_buckets(
+    buckets: DataFrame, bucket_cap: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministically cap hot LSH buckets — the embedding-space port
+    of :func:`jam_spark.pairs.thin_hot_bands` (same rotation-residue
+    scheme, keyed on the bucket id).
+
+    ``auto_n_planes`` bounds only the EXPECTED bucket (n/2^p): real
+    embedding corpora have mass points — duplicate embeddings, zero
+    vectors, model collapse modes — that drop millions of vectors into
+    ONE bucket at any plane count, and the bucket self-join is then m²
+    with no guard. A member survives bucket b iff
+    ``xxhash64(vec_id) % mod`` ∈ {b % mod, (b+1) % mod} with
+    ``mod = ceil(size/cap)``: every surviving bucket holds ≈ 2·cap
+    members (two adjacent residue classes), so per-bucket join work is
+    O(cap²) regardless of the mass-point size. The surviving residue
+    pair is anchored at ``xxhash64(bucket) % mod`` — NOT ``bucket %
+    mod``: a vector's n_tables bucket ids differ only in their high
+    (table-index) bits, so raw-mod residues collapse to ~2 distinct
+    pairs across all tables, while the hashed anchor decorrelates per
+    table. Coverage is then probabilistic: a mass-point member survives
+    ≥1 of its tables with p = 1-(1-2/mod)^n_tables (≈99.5% at the
+    default cap's mod=10, 24 tables) — the honest price of bounding an
+    adversarial m² join; raise bucket_cap if total coverage of
+    million-wide mass points matters more than the bound.
+
+    Sizes come from a map-side-combined count; only the (few) hot bucket
+    keys broadcast back — no window over the hot key."""
+    if not bucket_cap:
+        return buckets
+    hot = (
+        buckets.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .withColumn(
+            "thin_mod", F.ceil(F.col("n") / F.lit(bucket_cap)).cast("long")
+        )
+        .select("bucket", "thin_mod")
+    )
+    joined = buckets.join(F.broadcast(hot), "bucket", "left")
+    res = F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod"))
+    anchor = F.pmod(F.xxhash64(F.col("bucket")), F.col("thin_mod"))
+    return joined.filter(
+        F.col("thin_mod").isNull()
+        | (res == anchor)
+        | (res == F.pmod(anchor + 1, F.col("thin_mod")))
+    ).drop("thin_mod")
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,
     n_planes: int | None = None,
     n_tables: int = 24,
     target_bucket: int = 128,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine via random-hyperplane LSH.
 
@@ -287,8 +380,12 @@ def ann_lsh_topk(
     :func:`auto_n_planes`). Collision probability per table is
     (1 - θ/π)^n_planes, so more tables buy back the recall that more
     planes cost; recall floors are enforced in tests at 1× and 10× the
-    test corpus.
+    test corpus. ``bucket_cap`` (default 8×target_bucket) bounds the
+    WORST-case bucket via :func:`thin_hot_buckets` — expected-case math
+    never triggers it; adversarial mass points can't m² the self-join.
     """
+    if bucket_cap is None:
+        bucket_cap = 8 * target_bucket
     if n_planes is None:
         n_planes = auto_n_planes(embeddings.count(), target_bucket)
 
@@ -311,9 +408,12 @@ def ann_lsh_topk(
     # bucket join carries IDS ONLY — embeddings (512B each) attach after
     # dedup via broadcast-able joins, so the self-join shuffles ~16 bytes
     # per candidate instead of ~1KB
-    b = embeddings.select(
-        "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
-    ).persist()
+    b = track(
+        embeddings.select(
+            "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
+        )
+    )
+    b = thin_hot_buckets(b, bucket_cap)
     cand = (
         b.alias("x")
         .join(b.alias("y"), "bucket")

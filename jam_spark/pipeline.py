@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._persist import track
 from .cluster import connected_components
 from .pairs import (
     bands_table,
@@ -137,8 +138,8 @@ def pairs_stage(
     signature UDF would be recomputed 4x.
     """
     sk = with_nid(sketches)
-    bands = bands_table(sk, params, id_col="nid").persist()
-    bands.count()  # eager: 3 consumers below would race the cold cache
+    # eager: 3 consumers below would race the cold cache
+    bands = track(bands_table(sk, params, id_col="nid"), eager=True)
     bands = thin_hot_bands(bands, params, id_col="nid")
     cands = candidate_pairs(bands, id_col="nid")
     pairs_n = verify_pairs(cands, sk, params, broadcast_sketches, id_col="nid")
@@ -172,8 +173,8 @@ def dedup_pipeline(
     # sketches feed the band UDF and both sides of the verify join;
     # membership feeds rep_nodes and the final label join — persist both
     # so the sketch UDF and the exact-group shuffle run exactly once
-    sketches = sketches.persist()
-    sketches.count()  # eager: bands + both verify joins consume it
-    membership = membership.persist()
+    # eager: bands + both verify joins consume it
+    sketches = track(sketches, eager=True)
+    membership = track(membership)
     pairs = pairs_stage(sketches, params, broadcast_sketches)
     return cluster_stage(pairs, membership)

@@ -86,6 +86,35 @@ def test_connected_components_chain(spark):
     assert labels2 == {"a": "a", "b": "a", "c": "c", "d": "c", "z": "z"}
 
 
+def test_distributed_cc_chain_converges_logarithmically(spark):
+    """Worst case for plain min-propagation: a 1024-node near-dup CHAIN
+    (each adjacent pair above cutoff) has diameter 1023 ⇒ O(n) rounds
+    without pointer jumping. With the per-iteration label jump the run
+    must converge in ~log2(n) rounds with correct (min-member) labels."""
+    import math
+
+    from jam_spark import cluster as C
+
+    n = 1024
+    edges = spark.createDataFrame(
+        [(f"u{i:04d}", f"u{i+1:04d}") for i in range(n - 1)],
+        ["id_a", "id_b"],
+    )
+    labels = {
+        r["url"]: r["cluster_id"]
+        for r in C.connected_components(
+            edges, driver_threshold=0, max_iter=50
+        ).collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {"u0000"}
+    # pure-python simulation of propagate+jump says 11 rounds at n=1024;
+    # allow small slack, but far below the O(n) of propagation alone
+    assert C.LAST_CC_ITERATIONS <= math.ceil(math.log2(n)) + 3, (
+        C.LAST_CC_ITERATIONS
+    )
+
+
 def test_distributed_cc_reliable_checkpoint(spark, tmp_path):
     """The >threshold CC path with a checkpoint_dir must write RELIABLE
     checkpoints (files under the dir — survive executor loss) and agree

@@ -41,12 +41,47 @@ def test_all_queries_smoke(spark):
         assert rows is not None, name
 
 
-@pytest.mark.parametrize("name", ["token_counts", "exact_dedup_groups", "lang_id"])
+def test_no_lingering_persisted_rdds(spark):
+    """Operators route persists through jam_spark._persist.track;
+    release_all() after materializing a query must leave ZERO persisted
+    RDDs in the session (long-lived-session hygiene)."""
+    from jam_spark._persist import release_all
+
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_all()  # drop anything earlier tests left through the registry
+    before = persisted_ids()
+    sf_dir = "/root/testdata/sf0.001"
+    qs = E.queries()
+    for name in ("minhash_pairs", "ann_lsh_topk", "minhash_clusters"):
+        qs[name](spark, sf_dir).collect()
+    freed = release_all()
+    assert freed > 0  # the persists actually went through the registry
+    # nothing NEW lingers (fixture caches from other tests are theirs)
+    assert persisted_ids() <= before, persisted_ids() - before
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "token_counts",
+        "exact_dedup_groups",
+        "exact_dedup_members",
+        "lang_id",
+        "media_features",
+        "cosine_topk_fast",
+    ],
+)
 def test_sampled_parity_vs_duckdb(spark, name):
     sf_dir = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.sql(
         f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
     )
     sdf = E.queries()[name](spark, sf_dir)
     srows = sorted(

@@ -93,8 +93,11 @@ def test_simhash_near_dups_close(spark):
 
 
 def test_cosine_topk_fast_matches_exact(spark):
-    """Distributed block top-k == brute-force ranks (values up to float
-    summation order; ids/ranks exactly equal)."""
+    """Distributed block top-k == brute-force, BIT-exact: the candidate
+    set is re-scored with the identical sequential-float64 fold, so
+    neighbor ids, ranks, AND cosine values equal cosine_topk's — the
+    property that makes cosine_topk_sql a valid oracle for the fast
+    path."""
     from jam_spark.ops.similarity import cosine_topk, cosine_topk_fast
 
     embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -111,7 +114,7 @@ def test_cosine_topk_fast_matches_exact(spark):
     for key, (nid, cos) in exact.items():
         fnid, fcos = fast[key]
         assert fnid == nid, (key, nid, fnid)
-        assert abs(fcos - cos) < 1e-9
+        assert fcos == cos, (key, cos, fcos)
 
 
 def test_cosine_topk_fast_tiny_corpus(spark):
@@ -159,14 +162,58 @@ def test_ann_auto_planes_bounds_buckets(spark):
     assert m10 <= 6 * e10, (m10, e10)
 
 
+def test_ann_hot_bucket_cap_bounds_mass_points(spark):
+    """Planted pathology: thousands of IDENTICAL embeddings land in ONE
+    bucket per table at any plane count. The thinner must bound the
+    bucket self-join at O(cap²) while ≈all mass-point members still get
+    their k (cosine=1.0) neighbors through ≥1 surviving table."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import ann_lsh_topk, thin_hot_buckets
+
+    # direct bound: a 2000-member bucket thinned at cap=64 keeps the two
+    # surviving residue classes ≈ 2·cap members, not 2000
+    n = 2000
+    postings = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "bucket": np.full(n, 7)})
+    )
+    kept = thin_hot_buckets(postings, 64).count()
+    assert kept <= 4 * 64, kept
+    assert kept >= 32  # ...but not thinned to nothing
+
+    # end-to-end: identical vectors + cap ⇒ bounded candidates, correct
+    # neighbors for ≈ everyone (coverage 1-(1-2/mod)^24 ≈ 99.5% at mod=10)
+    emb = [[1.0, 0.0, 0.0, 0.0]] * n
+    embs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": emb})
+    )
+    out = ann_lsh_topk(embs, k=3, bucket_cap=200).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r["cosine"])
+    assert len(by_vec) >= 0.99 * n, len(by_vec)
+    assert all(
+        abs(c - 1.0) < 1e-9 for cs in by_vec.values() for c in cs
+    )
+    # candidate volume stayed bounded: an uncapped run of this corpus is
+    # n²/2·24 ≈ 48M join rows — the capped run returns in-test because
+    # per-bucket postings are ≤ ~2·cap (asserted above on the same math)
+
+
 def test_cosine_topk_fast_falls_back_to_ann(spark):
     """Above max_exact_n the exact block path would be n² at any constant
     factor — the call must delegate to the LSH path and still return the
     same schema."""
+    import warnings
+
     from jam_spark.ops.similarity import cosine_topk_fast
 
     embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    out = cosine_topk_fast(embs, k=3, max_exact_n=10)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = cosine_topk_fast(embs, k=3, max_exact_n=10)
+    # the silent exact→approximate switch must signal the caller
+    assert any("ann_lsh_topk" in str(w.message) for w in caught)
     assert out.columns == ["vec_id", "neighbor_id", "cosine", "rank"]
     rows = out.collect()
     assert len(rows) > 0

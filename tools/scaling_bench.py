@@ -106,9 +106,12 @@ def child(cores: int, corpus: str, cpuset: str | None = None) -> None:
 
 
 def ensure_corpus(n_pages: int) -> str:
+    import importlib
+
     os.environ["JAM_BENCH_PAGES"] = str(n_pages)
     import bench
 
+    importlib.reload(bench)  # bench reads JAM_BENCH_PAGES at import time
     return bench._bench_corpus_path()
 
 
@@ -154,10 +157,65 @@ def _measure_level_pair(n: int, corpus: str, rounds: int) -> dict:
     }
 
 
+def _run_child(cores: int, corpus: str) -> dict:
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.abspath(__file__),
+            "--child", str(cores), "--corpus", corpus,
+            "--cpuset", f"0-{cores - 1}",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True, cwd=REPO, timeout=14400,
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    r = json.loads(line)
+    print(line, flush=True)
+    return r
+
+
+def _measure_weak_pair(
+    n: int, corpus_small: str, corpus_big: str, rounds: int
+) -> dict:
+    """WEAK scaling: T(N cores, D docs) vs T(4N cores, 4D docs) — per-core
+    bytes matched across levels (VERDICT r2 #5). Ideal = equal wall
+    clock; efficiency_weak = T_N / T_4N. Interpretation needs
+    BENCH/membw.json: if the box's per-core DRAM bandwidth at 4N active
+    cores is a fraction beta of its per-core bandwidth at N cores, a
+    perfectly-parallel memory-bound job can reach at most ~beta here —
+    observed ≈ beta means NO residual serialization beyond the shared
+    memory subsystem; observed << beta would mean a real scaling bug."""
+    results: dict[int, dict] = {}
+    for _round in range(rounds):
+        for cores, corpus in ((n, corpus_small), (4 * n, corpus_big)):
+            r = _run_child(cores, corpus)
+            if cores not in results or r["wall_sec"] < results[cores]["wall_sec"]:
+                results[cores] = r
+    t_n, t_4n = results[n]["wall_sec"], results[4 * n]["wall_sec"]
+    return {
+        "runs": list(results.values()),
+        "summary": {
+            "mode": "weak",
+            "n_cores": n,
+            "docs_n": results[n]["docs"],
+            "docs_4n": results[4 * n]["docs"],
+            "t_n_sec": t_n,
+            "t_4n_sec": t_4n,
+            "docs_per_sec_n": results[n]["docs_per_sec"],
+            "docs_per_sec_4n": results[4 * n]["docs_per_sec"],
+            "efficiency_weak": round(t_n / t_4n, 3),
+        },
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=1000000)
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument(
+        "--weak", action="store_true",
+        help="matched per-core-load run: N cores on pages/4 vs 4N cores "
+        "on pages; writes BENCH/weak_scaling.json",
+    )
     ap.add_argument(
         "--n", type=str, default="2,4",
         help="comma-separated small cluster sizes; each N is measured "
@@ -173,6 +231,17 @@ def main() -> None:
 
     if args.child is not None:
         child(args.child, args.corpus, args.cpuset)
+        return
+
+    if args.weak:
+        n = [int(x) for x in str(args.n).split(",") if x][-1]
+        corpus_small = ensure_corpus(args.pages // 4)
+        corpus_big = ensure_corpus(args.pages)
+        out = _measure_weak_pair(n, corpus_small, corpus_big, args.rounds)
+        print(json.dumps(out["summary"]))
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "weak_scaling.json"), "w") as f:
+            json.dump(out, f, indent=2)
         return
 
     corpus = ensure_corpus(args.pages)
