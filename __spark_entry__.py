@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embs(s, d))),
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
         "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
+        "ann_ivf_topk": q(lambda s, d: similarity.ann_ivf_topk(_embs(s, d))),
     }
 
 
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         # sequential-float64 fold, so its values are bit-equal to the
         # brute-force baseline — same oracle applies
         "cosine_topk_fast": similarity.cosine_topk_sql(),
-        # minhash_* and ann_lsh_topk intentionally omitted:
-        # xxh3/LSH not expressible in ANSI SQL; covered by pytest oracle.
+        # minhash_*, ann_lsh_topk, ann_ivf_topk intentionally omitted:
+        # xxh3/LSH/k-means not expressible in ANSI SQL; covered by the
+        # pytest oracle / recall-floor tests.
     }

@@ -105,6 +105,7 @@ def main() -> None:
         ("minhash_clusters", lambda: dedup.minhash_clusters(docs)),
         ("cosine_topk_fast", lambda: similarity.cosine_topk_fast(embs)),
         ("ann_lsh_topk", lambda: similarity.ann_lsh_topk(embs)),
+        ("ann_ivf_topk", lambda: similarity.ann_ivf_topk(embs)),
         (
             "pages_dedup",
             lambda: dedup_pipeline(pages, SketchParams()),

@@ -64,6 +64,64 @@ def export_sourmash_json(
     ).write.mode("overwrite").text(path)
 
 
+def export_sourmash_envelope(
+    sketches: DataFrame, params: SketchParams, path: str
+) -> None:
+    """Write the REFERENCE's actual nested sourmash envelope
+    (``src/signature.rs:15-31`` / the public sourmash JSON schema): each
+    output part-file is ONE JSON array of records, each record wrapping a
+    ``signatures`` list with {num, ksize, seed, max_hash, mins, md5sum,
+    molecule}. ``md5sum`` follows sourmash's public algorithm (md5 over
+    str(ksize) then each min's decimal string). Round-trips through
+    :func:`read_sourmash_envelope`; value-compatible with the
+    reference's import path (mins = unsigned u64s, sorted)."""
+    import hashlib
+
+    k, max_hash = params.k, params.max_hash
+
+    def _to_env(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        records = []
+        for pdf in batches:
+            for name, sk in zip(pdf["url"], pdf["sketch"]):
+                mins = (
+                    np.asarray(sk, dtype=np.int64).view(np.uint64).tolist()
+                    if sk is not None and len(sk)
+                    else []
+                )
+                md5 = hashlib.md5(str(k).encode())
+                for m in mins:
+                    md5.update(str(m).encode())
+                records.append(
+                    {
+                        "class": "sourmash_signature",
+                        "email": "",
+                        "hash_function": "0.murmur64",
+                        "filename": name,
+                        "name": name,
+                        "license": "CC0",
+                        "signatures": [
+                            {
+                                "num": 0,
+                                "ksize": k,
+                                "seed": 42,
+                                "max_hash": max_hash,
+                                "mins": mins,
+                                "md5sum": md5.hexdigest(),
+                                "molecule": "DNA",
+                            }
+                        ],
+                        "version": 0.4,
+                    }
+                )
+        # one JSON array per PARTITION (= per output part-file), matching
+        # the whole-file envelope shape read_sourmash_envelope expects
+        yield pd.DataFrame({"value": [json.dumps(records, sort_keys=True)]})
+
+    sketches.select("url", "sketch").mapInPandas(
+        _to_env, schema="value string"
+    ).write.mode("overwrite").text(path)
+
+
 def read_sourmash_json(
     spark: SparkSession, path: str, expected: SketchParams | None = None
 ) -> DataFrame:

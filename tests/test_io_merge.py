@@ -34,6 +34,40 @@ def test_sourmash_roundtrip(spark, pages_df, tmp_path):
     assert d["ksize"] == params.k and d["max_hash"] == params.max_hash
 
 
+def test_sourmash_envelope_roundtrip(spark, pages_df, tmp_path):
+    """W2 write parity: the nested-envelope WRITER round-trips through
+    the reference-format reader, and each part-file is a valid sourmash
+    envelope (array of records, signatures[].mins unsigned, md5sum =
+    sourmash's public ksize+mins digest)."""
+    import hashlib
+    import json
+
+    from jam_spark.io import export_sourmash_envelope, read_sourmash_envelope
+
+    params = SketchParams()
+    sketches, _ = sketch_stage(pages_df, params)
+    sketches = sketches.persist()
+    path = str(tmp_path / "env")
+    export_sourmash_envelope(sketches, params, path)
+    back = read_sourmash_envelope(spark, path, expected=params)
+    a = {r["url"]: list(r["sketch"]) for r in sketches.collect()}
+    b = {r["url"]: list(r["sketch"]) for r in back.collect()}
+    assert a == b
+
+    fn = [str(p) for p in (tmp_path / "env").glob("part-*.txt")][0]
+    records = json.loads(open(fn).read())
+    assert isinstance(records, list) and records
+    rec = records[0]
+    assert rec["class"] == "sourmash_signature"
+    sig = rec["signatures"][0]
+    assert sig["ksize"] == params.k and sig["max_hash"] == params.max_hash
+    assert all(m >= 0 for m in sig["mins"])
+    md5 = hashlib.md5(str(params.k).encode())
+    for m in sig["mins"]:
+        md5.update(str(m).encode())
+    assert sig["md5sum"] == md5.hexdigest()
+
+
 def test_sourmash_config_mismatch(spark, pages_df, tmp_path):
     params = SketchParams()
     sketches, _ = sketch_stage(pages_df, params)

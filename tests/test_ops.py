@@ -218,3 +218,78 @@ def test_cosine_topk_fast_falls_back_to_ann(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert max(r["rank"] for r in rows) <= 3
+
+
+def _top1_recall(exact_rows, approx_rows):
+    exact_top1 = {r["vec_id"]: r["neighbor_id"] for r in exact_rows if r["rank"] == 1}
+    sets = {}
+    for r in approx_rows:
+        sets.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    return sum(
+        1 for v, n in exact_top1.items() if n in sets.get(v, set())
+    ) / len(exact_top1)
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF path, both regimes:
+
+    1. UNIFORM data (the real embeddings table): cells can't adapt to
+       structure that isn't there, so recall degrades toward the probe
+       fraction — floor 0.75 at probe 4/8 (measured 0.806) documents
+       that honestly rather than hiding it.
+    2. CLUSTERED data (seeded Gaussian mixture — the regime real
+       text/image embeddings live in): the trained cells align with the
+       clusters, so probing 4 of 20 cells (fraction 0.2) must still
+       find ≈ every true top-1 — the property that makes IVF the
+       data-adaptive scale path vs oblivious LSH."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import ann_ivf_topk, cosine_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = cosine_topk(embs, k=3).collect()
+    approx = ann_ivf_topk(embs, k=3, n_cells=8, n_probe=4).collect()
+    recall = _top1_recall(exact, approx)
+    assert recall >= 0.75, f"uniform-data IVF recall {recall}"
+    # determinism: the quantizer is seeded + hash-sampled, so a rerun
+    # returns the identical result set
+    again = ann_ivf_topk(embs, k=3, n_cells=8, n_probe=4).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(20, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 40, axis=0) + 0.15 * rng.normal(size=(800, 16))
+    clustered = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(800), "embedding": [list(map(float, v)) for v in vecs]}
+        )
+    )
+    exact_c = cosine_topk(clustered, k=3).collect()
+    approx_c = ann_ivf_topk(clustered, k=3, n_cells=20, n_probe=4).collect()
+    recall_c = _top1_recall(exact_c, approx_c)
+    # probing 20% of the cells must recover >> 20% of true neighbors
+    assert recall_c >= 0.9, f"clustered-data IVF recall {recall_c}"
+
+
+def test_ann_ivf_hot_cell_cap_bounds_mass_points(spark):
+    """Mass-point corpus (all-identical embeddings collapse into one IVF
+    cell no matter the quantizer): the cell cap must bound the probe
+    join while ≈all members still find cosine-1.0 neighbors."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import ann_ivf_topk
+
+    n = 1500
+    emb = [[0.0, 1.0, 0.0, 0.0]] * n
+    embs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": emb})
+    )
+    out = ann_ivf_topk(embs, k=3, n_cells=4, n_probe=2, cell_cap=128).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r["cosine"])
+    # every query probes the (single) populated cell, whose postings are
+    # thinned to ~2*cap — everyone still gets k exact-duplicate neighbors
+    assert len(by_vec) == n, len(by_vec)
+    assert all(abs(c - 1.0) < 1e-9 for cs in by_vec.values() for c in cs)
