@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_members": q(lambda s, d: dedup.exact_dedup_members(_docs(s, d))),
         # --- text analysis ---
         "token_counts": q(lambda s, d: text.token_counts(_docs(s, d))),
+        "token_counts_bpe": q(lambda s, d: text.token_counts_bpe(_docs(s, d))),
         "doc_quality": q(lambda s, d: text.doc_quality(_docs(s, d))),
         "lang_profile": q(lambda s, d: text.lang_profile(_docs(s, d))),
         "lang_id": q(lambda s, d: text.lang_id(_docs(s, d))),
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_groups": dedup.exact_dedup_groups_sql(),
         "exact_dedup_members": dedup.exact_dedup_members_sql(),
         "token_counts": text.token_counts_sql(),
+        "token_counts_bpe": text.token_counts_bpe_sql(),
         "doc_quality": text.doc_quality_sql(),
         "lang_profile": text.lang_profile_sql(),
         "lang_id": text.lang_id_sql(),

@@ -295,12 +295,17 @@ class CheckpointedDedup:
             return self._read("bands")
         from .pairs import bands_table, thin_hot_bands, with_nid
 
+        from ._persist import track
+
         # postings are keyed by the compact nid (8 bytes) — the reference
         # index likewise stores sketch IDS, not names, against each hash
         # key (src/file_io.rs:227-232); nid → url resolves via the
-        # sketches table exactly like the reference's id → sketch lookup
+        # sketches table exactly like the reference's id → sketch lookup.
+        # persist: thin_hot_bands probes the hot-key count (an action), so
+        # an unpersisted postings table would pay the band UDF twice —
+        # once for the probe, once for the write below
         bands = thin_hot_bands(
-            bands_table(with_nid(sketches), self.params, id_col="nid"),
+            track(bands_table(with_nid(sketches), self.params, id_col="nid")),
             self.params,
             id_col="nid",
         )

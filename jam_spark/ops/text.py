@@ -56,6 +56,43 @@ def token_counts_sql() -> str:
     """
 
 
+#: BPE-ish pre-tokenizer regex (GPT-2 family): contractions, space-glued
+#: letter runs, digit runs, symbol runs, whitespace runs. Restricted to
+#: constructs Java regex (Spark) and RE2 (DuckDB) evaluate identically —
+#: no lookaheads (RE2 has none), ASCII classes (Java \s is ASCII, RE2 \s
+#: is ASCII), and alternation order matters the same way in both
+#: (leftmost-first).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_counts_bpe(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens_ws, n_tokens_bpe) — whitespace count next to a
+    BPE-ish pre-tokenizer count (pure-whitespace matches excluded): the
+    unit LLM-pipeline budgets are written in. JVM-side regexp, map-only."""
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    return documents.select(
+        "doc_id",
+        F.size(_tokens_col()).cast("long").alias("n_tokens_ws"),
+        # pure-whitespace matches are excluded by regex, NOT trim():
+        # trim strips only ' ' in both engines, so '\n' would survive it
+        F.size(
+            F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))
+        ).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+def token_counts_bpe_sql() -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"""
+        SELECT doc_id,
+               len({_TOKENS})::BIGINT AS n_tokens_ws,
+               len(list_filter(regexp_extract_all(text, '{pat}'),
+                               x -> NOT regexp_matches(x, '^\\s+$')))::BIGINT
+                 AS n_tokens_bpe
+        FROM documents
+    """
+
+
 def doc_quality(documents: DataFrame) -> DataFrame:
     """Per-doc quality features: token count, char count, mean token
     length, stopword hits/ratio, punctuation-ish char count.

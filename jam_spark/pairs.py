@@ -60,11 +60,22 @@ def thin_hot_bands(bands: DataFrame, params: SketchParams, id_col: str = "url") 
     """
     if not params.band_cap:
         return bands
+    from ._persist import track
+
     sizes = bands.groupBy("band_id", "band_hash").count()
-    hot = sizes.filter(F.col("count") > params.band_cap).withColumn(
-        "thin_mod",
-        F.ceil(F.col("count") / F.lit(params.band_cap)).cast("long"),
+    hot = track(
+        sizes.filter(F.col("count") > params.band_cap).withColumn(
+            "thin_mod",
+            F.ceil(F.col("count") / F.lit(params.band_cap)).cast("long"),
+        )
     )
+    # adaptive short-circuit (same spirit as AQE's runtime re-plan): at
+    # most corpus shapes NO band exceeds the cap — skip the broadcast
+    # join wrapper entirely then, so the worst-case guard costs one
+    # partial-aggregated count and nothing else. `hot` is persisted, so
+    # the probe and the broadcast share one computation.
+    if hot.limit(1).count() == 0:
+        return bands
     joined = bands.join(
         F.broadcast(hot.select("band_id", "band_hash", "thin_mod")),
         ["band_id", "band_hash"],

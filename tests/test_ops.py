@@ -293,3 +293,39 @@ def test_ann_ivf_hot_cell_cap_bounds_mass_points(spark):
     # thinned to ~2*cap — everyone still gets k exact-duplicate neighbors
     assert len(by_vec) == n, len(by_vec)
     assert all(abs(c - 1.0) < 1e-9 for cs in by_vec.values() for c in cs)
+
+
+def test_token_counts_bpe_parity_tricky_strings(spark):
+    """Spark (Java regex) and DuckDB (RE2) must tokenize identically on
+    the constructs where the engines COULD diverge: contractions,
+    non-ASCII letters, emoji, tab/newline whitespace (trim() strips only
+    spaces in both engines — the filter must be regex-based), leading /
+    trailing / repeated whitespace."""
+    import duckdb
+
+    from jam_spark.ops.text import token_counts_bpe, token_counts_bpe_sql
+
+    cases = [
+        "don't stop, won't   stop!", "hello world", "", "   ",
+        "abc123def", "price: $42.50 (today)", "naïve café — résumé…",
+        "line1\nline2\ttabbed", "it's I'll we're you've I'm he'd",
+        "a'x 'hello' ''", "混合 text with 中文 and emoji 🙂 ok",
+        "trailing space ", " leading", "UPPER lower MiXeD",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+        for r in token_counts_bpe(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "t AS text FROM (SELECT unnest(?) AS t)",
+        [cases],
+    )
+    want = {
+        r[0]: (r[1], r[2]) for r in con.sql(token_counts_bpe_sql()).fetchall()
+    }
+    assert got == want
