@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
         ),
         "simhash": q(lambda s, d: dedup.simhash(_docs(s, d))),
+        "simhash_dup_pairs": q(lambda s, d: dedup.simhash_dup_pairs(_docs(s, d))),
         "substring_dup_spans": q(
             lambda s, d: dedup.substring_dup_spans(_docs(s, d))
         ),
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.doc_fingerprint_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
+        "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),
         "substring_dup_spans": dedup.substring_dup_spans_sql(),
         "media_features": multimodal.media_features_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),

@@ -100,6 +100,7 @@ def main() -> None:
         ("lang_id", lambda: text.lang_id(docs)),
         ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(docs)),
         ("simhash", lambda: dedup.simhash(docs)),
+        ("simhash_dup_pairs", lambda: dedup.simhash_dup_pairs(docs)),
         ("minhash_sketches", lambda: dedup.minhash_sketches(docs)),
         ("minhash_pairs", lambda: dedup.minhash_pairs(docs)),
         ("minhash_clusters", lambda: dedup.minhash_clusters(docs)),

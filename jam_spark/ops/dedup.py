@@ -401,6 +401,151 @@ def simhash_sql() -> str:
     """
 
 
+#: bands for the simhash hamming join: 4 bands x 15 bits. Pigeonhole: a
+#: pair within hamming distance 3 differs in <= 3 bands, so it SHARES at
+#: least one of the 4 — the banded candidate join is EXACT for k <= 3.
+SIMHASH_BANDS = 4
+
+
+def simhash_dup_pairs(
+    documents: DataFrame, k: int = 3, band_cap: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) — all document pairs whose simhash
+    fingerprints are within hamming distance ``k`` (Manku et al., WWW'07
+    near-duplicate scheme over Charikar fingerprints).
+
+    Scale shape: the banded self-join runs over DISTINCT fingerprints,
+    so m mirror pages collapse to ONE posting before any join (the
+    same-fingerprint doc pairs are emitted separately, output-bound);
+    candidates then verify with an exact hamming count (JVM zip_with —
+    no Python). For k <= 3 the 4x15-bit banding is candidate-COMPLETE
+    (pigeonhole), so results are exact, and the same banding runs in the
+    SQL twin. Expected band-bucket size among distinct fingerprints is
+    n_fp/2^15 — fine through ~10^8-10^9 distinct fps; beyond that, pass
+    ``band_cap`` to bound adversarial band buckets with the rotation
+    thinner (trades the exactness guarantee for a bounded join, same
+    contract as the minhash/ANN caps).
+    """
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    fps = track(simhash(documents))  # (doc_id, simhash) — reused 4x
+    uf = fps.select("simhash").distinct()
+    bands = uf.select(
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", 1 + b * width, width)
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    if band_cap:
+        from .similarity import thin_hot_buckets
+
+        bands = thin_hot_buckets(
+            bands.withColumn(
+                "bucket",
+                F.xxhash64(F.col("band_id").cast("string"), "band_val"),
+            ),
+            band_cap,
+            id_col="simhash",
+        ).drop("bucket")
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_id", "band_val"])
+        .filter(F.col("x.simhash") < F.col("y.simhash"))
+        .select(
+            F.col("x.simhash").alias("fa"), F.col("y.simhash").alias("fb")
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("fa"), ""),
+            F.split(F.col("fb"), ""),
+            lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    close_fps = cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= k
+    )
+    # same-fingerprint doc pairs (hamming 0): exact mirrors
+    a = fps.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "simhash")
+    same = (
+        a.join(b, "simhash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.lit(0).cast("long").alias("hamming")
+        )
+    )
+    # cross-fingerprint doc pairs: expand fp pairs back to members
+    cross = (
+        close_fps.join(
+            fps.select(F.col("doc_id").alias("da"), F.col("simhash").alias("fa")),
+            "fa",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("db"), F.col("simhash").alias("fb")),
+            "fb",
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        F.col("hamming").cast("long"),
+    )
+
+
+def simhash_dup_pairs_sql(k: int = 3) -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    band_exprs = ", ".join(
+        f"substring(simhash, {1 + b * width}, {width})" for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+        WITH fp AS ({simhash_sql()}),
+        uf AS (SELECT DISTINCT simhash FROM fp),
+        bands AS (
+          SELECT simhash, b.band_id, [{band_exprs}][b.band_id + 1] AS band_val
+          FROM uf, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id) b
+        ),
+        cand AS (
+          SELECT DISTINCT x.simhash AS fa, y.simhash AS fb
+          FROM bands x JOIN bands y
+            ON x.band_id = y.band_id AND x.band_val = y.band_val
+          WHERE x.simhash < y.simhash
+        ),
+        close_fps AS (
+          SELECT * FROM (
+            SELECT fa, fb,
+                   list_sum(list_transform(range(1, {SIMHASH_BITS} + 1),
+                     i -> CASE WHEN substring(fa, i::INT, 1)
+                               <> substring(fb, i::INT, 1)
+                          THEN 1 ELSE 0 END))::BIGINT AS hamming
+            FROM cand
+          ) WHERE hamming <= {k}
+        )
+        SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+               0::BIGINT AS hamming
+        FROM fp a JOIN fp b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT least(da.doc_id, db.doc_id)::BIGINT AS doc_a,
+               greatest(da.doc_id, db.doc_id)::BIGINT AS doc_b,
+               c.hamming
+        FROM close_fps c
+        JOIN fp da ON da.simhash = c.fa
+        JOIN fp db ON db.simhash = c.fb
+    """
+
+
 # ----------------------------------------------- minhash-LSH (the core)
 
 def documents_as_pages(documents: DataFrame) -> DataFrame:

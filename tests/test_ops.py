@@ -329,3 +329,42 @@ def test_token_counts_bpe_parity_tricky_strings(spark):
         r[0]: (r[1], r[2]) for r in con.sql(token_counts_bpe_sql()).fetchall()
     }
     assert got == want
+
+
+def test_simhash_dup_pairs_exact_vs_brute_force(spark):
+    """The 4x15-bit banded join is candidate-COMPLETE for hamming <= 3
+    (pigeonhole), so simhash_dup_pairs must equal the brute-force answer
+    computed from the simhash fingerprints directly — including exact
+    mirrors (hamming 0) and near-dups that differ in a couple tokens."""
+    from jam_spark.ops.dedup import simhash, simhash_dup_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while spark shuffles "
+        "parquet row groups across executors and catalyst prunes columns"
+    )
+    docs = [
+        (1, base),
+        (2, base),  # exact mirror of 1
+        (3, base.replace("lazy", "sleepy")),      # near-dup
+        (4, base.replace("quick", "rapid").replace("dog", "wolf")),
+        (5, "completely unrelated text about minhash sketching and lsh bands"),
+        (6, "another unrelated document mentioning iceberg checkpoints"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+
+    def ham(a, b):
+        return sum(1 for x, y in zip(a, b) if x != y)
+
+    want = {
+        (a, b, ham(fps[a], fps[b]))
+        for a in fps
+        for b in fps
+        if a < b and ham(fps[a], fps[b]) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_dup_pairs(df, k=3).collect()
+    }
+    assert got == want
+    assert (1, 2, 0) in got  # the planted mirror pair survived
