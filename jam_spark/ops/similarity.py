@@ -375,7 +375,8 @@ def thin_hot_buckets(
 
 
 def _train_ivf_centroids(
-    embeddings: DataFrame, n_cells: int, sample_target: int, iters: int
+    embeddings: DataFrame, n_cells: int, sample_target: int, iters: int,
+    n: int,
 ) -> np.ndarray:
     """Spherical k-means coarse quantizer on a BOUNDED deterministic
     sample (standard IVF practice: the quantizer trains on a sample, the
@@ -385,7 +386,6 @@ def _train_ivf_centroids(
     ``sample_target`` rows ⇒ driver memory is O(sample × dim), INDEPENDENT
     of corpus size — this is the one deliberate driver-side step and it
     does not grow at 100×."""
-    n = embeddings.count()
     step = max(1, n // sample_target)
     sample = (
         embeddings.select("vec_id", "embedding")
@@ -457,7 +457,9 @@ def ann_ivf_topk(
         cell_cap = 8 * target_cell
     if n_cells is None:
         n_cells = auto_n_cells(n, target_cell)
-    cents = _train_ivf_centroids(embeddings, n_cells, train_sample, train_iters)
+    cents = _train_ivf_centroids(
+        embeddings, n_cells, train_sample, train_iters, n
+    )
     n_probe_eff = min(n_probe, len(cents))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
@@ -477,18 +479,22 @@ def ann_ivf_topk(
         return pd.Series(list(top.astype(np.int64)))
 
     ids = embeddings.select("vec_id", "embedding")
-    # corpus postings: each vector lives in its single NEAREST cell
-    # (element 0 of the probe list); ids-only, capped against mass points
-    corpus = track(
-        ids.select(
-            "vec_id",
-            F.element_at(probe_udf("embedding"), 1).alias("bucket"),
-        )
+    # ONE probe-UDF pass serves both roles (persisted): element 1 is the
+    # assignment cell (nearest), the full list is the query's probe set
+    assigned = track(
+        ids.select("vec_id", probe_udf("embedding").alias("probes"))
     )
-    corpus = thin_hot_buckets(corpus, cell_cap)
+    # corpus postings: each vector lives in its single NEAREST cell;
+    # ids-only, capped against mass points
+    corpus = thin_hot_buckets(
+        assigned.select(
+            "vec_id", F.element_at("probes", 1).alias("bucket")
+        ),
+        cell_cap,
+    )
     # query probes: n_probe nearest cells per query — bounded fan-out
-    probes = ids.select(
-        "vec_id", F.explode(probe_udf("embedding")).alias("bucket")
+    probes = assigned.select(
+        "vec_id", F.explode("probes").alias("bucket")
     )
     cand = (
         probes.join(
