@@ -461,9 +461,15 @@ def ann_ivf_topk(
         embeddings, n_cells, train_sample, train_iters, n
     )
     n_probe_eff = min(n_probe, len(cents))
+    # torrent-broadcast the centroid matrix rather than capturing it in
+    # the UDF closure: at the 65536-cell cap and dim 512 the matrix is
+    # ~134 MB — closure capture would serialize it into every task
+    # binary, broadcast ships it once per executor
+    bc_cents = embeddings.sparkSession.sparkContext.broadcast(cents)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def probe_udf(emb: pd.Series) -> pd.Series:
+        cents = bc_cents.value
         mat = np.vstack(emb.to_numpy()).astype(np.float32)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = mat @ cents.T

@@ -368,3 +368,31 @@ def test_simhash_dup_pairs_exact_vs_brute_force(spark):
     }
     assert got == want
     assert (1, 2, 0) in got  # the planted mirror pair survived
+
+
+def test_hot_thinners_short_circuit_when_nothing_is_hot(spark):
+    """When no key exceeds the cap (the common corpus shape), both
+    thinners must return the INPUT DataFrame unchanged — the skew guard
+    then costs one partial-aggregated count and adds NO join to the
+    downstream plan (measured ~2x on ann_lsh_topk before this)."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import thin_hot_buckets
+    from jam_spark.pairs import thin_hot_bands
+    from jam_spark.params import SketchParams
+
+    postings = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(100), "bucket": np.arange(100) % 10})
+    )
+    assert thin_hot_buckets(postings, 64) is postings
+
+    bands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(100)],
+                "band_id": np.arange(100) % 5,
+                "band_hash": np.arange(100) % 7,
+            }
+        )
+    )
+    assert thin_hot_bands(bands, SketchParams()) is bands
