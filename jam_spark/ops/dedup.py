@@ -408,7 +408,10 @@ SIMHASH_BANDS = 4
 
 
 def simhash_dup_pairs(
-    documents: DataFrame, k: int = 3, band_cap: int | None = None
+    documents: DataFrame,
+    k: int = 3,
+    band_cap: int | None = None,
+    include_mirror_pairs: bool = True,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — all document pairs whose simhash
     fingerprints are within hamming distance ``k`` (Manku et al., WWW'07
@@ -425,6 +428,14 @@ def simhash_dup_pairs(
     ``band_cap`` to bound adversarial band buckets with the rotation
     thinner (trades the exactness guarantee for a bounded join, same
     contract as the minhash/ANN caps).
+
+    ``include_mirror_pairs``: the same-fingerprint (hamming 0) doc pairs
+    are m² in the mirror-group size — for a 10⁸-mirror boilerplate page
+    that is an unboundable OUTPUT, not a join problem (AQE splits the
+    skewed join, but the rows still exist). Pair-style output keeps
+    oracle parity at test scale; at web scale pass ``False`` and read
+    mirror groups from :func:`exact_dedup_groups`-style aggregation over
+    the fingerprints instead.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
     fps = track(simhash(documents))  # (doc_id, simhash) — reused 4x
@@ -498,7 +509,8 @@ def simhash_dup_pairs(
             "hamming",
         )
     )
-    return same.unionByName(cross).select(
+    out = cross if not include_mirror_pairs else same.unionByName(cross)
+    return out.select(
         F.col("doc_a").cast("long"),
         F.col("doc_b").cast("long"),
         F.col("hamming").cast("long"),
