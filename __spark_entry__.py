@@ -103,6 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # --- similarity search ---
         "cosine_topk": q(lambda s, d: similarity.cosine_topk(_embs(s, d))),
+        # threshold 0.35: the synthetic embeddings are near-uniform (max
+        # pair cosine ≈ 0.51), so the production default (0.9) would be
+        # vacuous here — a lower cut makes the driver row carry rows
+        "cosine_dup_pairs": q(
+            lambda s, d: similarity.cosine_dup_pairs(_embs(s, d), threshold=0.35)
+        ),
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
         "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
         "ann_ivf_topk": q(lambda s, d: similarity.ann_ivf_topk(_embs(s, d))),
@@ -127,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": dedup.substring_dup_spans_sql(),
         "media_features": multimodal.media_features_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
+        "cosine_dup_pairs": similarity.cosine_dup_pairs_sql(threshold=0.35),
         # cosine_topk_fast re-scores its candidate set with the identical
         # sequential-float64 fold, so its values are bit-equal to the
         # brute-force baseline — same oracle applies

@@ -272,6 +272,59 @@ def cosine_topk_fast(
     )
 
 
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """(vec_id, neighbor_id, cosine) — all pairs with cosine strictly
+    above ``threshold``, vec_id < neighbor_id: embedding-space near-dup
+    PAIRS (the pair-style twin of :func:`cosine_topk`, matching the
+    pairs-style outputs of the minhash/simhash/ngram dedup family).
+
+    This is the exact O(n²) oracle baseline (sequential-float64 fold ⇒
+    DuckDB-checkable); at scale generate candidates with
+    :func:`ann_lsh_topk` / :func:`ann_ivf_topk` buckets and re-score —
+    same contract as cosine_topk vs its ANN paths.
+    """
+    a = embeddings.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.9) -> str:
+    dot = (
+        "list_reduce([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+        "for i in range(1, len(a.embedding) + 1)], (x, y) -> x + y)"
+    )
+    norm_a = (
+        "sqrt(list_reduce([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE "
+        "for i in range(1, len(a.embedding) + 1)], (x, y) -> x + y))"
+    )
+    norm_b = (
+        "sqrt(list_reduce([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE "
+        "for i in range(1, len(b.embedding) + 1)], (x, y) -> x + y))"
+    )
+    return f"""
+        SELECT * FROM (
+          SELECT a.vec_id::BIGINT AS vec_id, b.vec_id::BIGINT AS neighbor_id,
+                 {dot} / ({norm_a} * {norm_b}) AS cosine
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+        ) WHERE cosine > {threshold}
+    """
+
+
 @F.pandas_udf(T.DoubleType())
 def _cosine_pair_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
     a = np.vstack(ea.to_numpy()).astype(np.float64)

@@ -396,3 +396,29 @@ def test_hot_thinners_short_circuit_when_nothing_is_hot(spark):
         )
     )
     assert thin_hot_bands(bands, SketchParams()) is bands
+
+
+def test_cosine_dup_pairs_finds_planted_near_dups(spark):
+    """Planted near-identical embeddings must clear the production 0.9
+    threshold; orthogonal ones must not; values are the same bit-exact
+    sequential-f64 fold cosine_topk uses."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import cosine_dup_pairs
+
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [0.999, 0.01, 0.0, 0.0],   # near-dup of 1
+        3: [0.0, 1.0, 0.0, 0.0],      # orthogonal
+        4: [0.0, 0.999, 0.02, 0.0],   # near-dup of 3
+    }
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(vecs), "embedding": [vecs[k] for k in vecs]}
+        )
+    )
+    got = {
+        (r["vec_id"], r["neighbor_id"])
+        for r in cosine_dup_pairs(embs, threshold=0.9).collect()
+    }
+    assert got == {(1, 2), (3, 4)}
