@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash": q(lambda s, d: dedup.simhash(_docs(s, d))),
         "simhash_dup_pairs": q(lambda s, d: dedup.simhash_dup_pairs(_docs(s, d))),
+        "simhash_mirror_groups": q(
+            lambda s, d: dedup.simhash_mirror_groups(_docs(s, d))
+        ),
         "substring_dup_spans": q(
             lambda s, d: dedup.substring_dup_spans(_docs(s, d))
         ),
@@ -110,8 +113,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: similarity.cosine_dup_pairs(_embs(s, d), threshold=0.35)
         ),
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
+        # scale twin of cosine_dup_pairs: capped LSH candidates, identical
+        # exact-fold re-score (approximate membership ⇒ rows-only here;
+        # recall floors + score-parity in pytest)
+        "ann_dup_pairs": q(
+            lambda s, d: similarity.ann_dup_pairs(_embs(s, d), threshold=0.35)
+        ),
         "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
         "ann_ivf_topk": q(lambda s, d: similarity.ann_ivf_topk(_embs(s, d))),
+        # driver-checkable ANN *scoring* certification: every cosine the
+        # IVF path returns, re-derived with an independent sequential-f64
+        # implementation; one row (0 mismatches, nonempty) vs a constant
+        # oracle — membership stays pytest-gated, values are certified
+        "ann_ivf_rescored": q(
+            lambda s, d: similarity.ann_rescored(_embs(s, d), method="ivf")
+        ),
     }
 
 
@@ -130,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),
+        "simhash_mirror_groups": dedup.simhash_mirror_groups_sql(),
         "substring_dup_spans": dedup.substring_dup_spans_sql(),
         "media_features": multimodal.media_features_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
@@ -138,7 +155,11 @@ def oracle_sql() -> dict[str, str]:
         # sequential-float64 fold, so its values are bit-equal to the
         # brute-force baseline — same oracle applies
         "cosine_topk_fast": similarity.cosine_topk_sql(),
-        # minhash_*, ann_lsh_topk, ann_ivf_topk intentionally omitted:
-        # xxh3/LSH/k-means not expressible in ANSI SQL; covered by the
-        # pytest oracle / recall-floor tests.
+        # certifies ANN scoring (exact fold per returned pair) against a
+        # constant-truth oracle; see similarity.ann_rescored
+        "ann_ivf_rescored": similarity.ann_rescored_sql(),
+        # minhash_*, ann_dup_pairs, ann_lsh_topk, ann_ivf_topk
+        # intentionally omitted: xxh3/LSH/k-means not expressible in ANSI
+        # SQL; covered by the pytest oracle / recall-floor / score-parity
+        # tests.
     }

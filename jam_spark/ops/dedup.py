@@ -22,13 +22,14 @@ from .text import _TOKENS, _tokens_col
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Map-heavy ops compute inside the scan stage; a pathological input
-    (one giant parquet row group) would serialize them. Repartition only
-    in that case — at 100TB inputs always carry >= cores splits and this
-    is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    (one small parquet file) would serialize them. The guard estimates
+    splits from driver-side file metadata — no ``df.rdd`` probe, which
+    cost a second analysis/planning pass per operator call — and
+    repartitions only when under-parallel; at 100TB inputs always carry
+    >= cores splits and this is a no-op (see jam_spark.scan)."""
+    from ..scan import ensure_scan_parallelism
+
+    return ensure_scan_parallelism(df)
 
 
 # ---------------------------------------------------------------- exact
@@ -63,12 +64,22 @@ def exact_dedup_members(documents: DataFrame) -> DataFrame:
     partial-aggregate — at web scale a boilerplate page with 10⁸ mirrors
     is a single straggler task. The groupBy side collapses mirrors
     map-side before the shuffle, and the fp-equi-join is AQE-skew-
-    splittable."""
-    groups = exact_dedup_groups(documents).select("text_fp", "canonical_id")
+    splittable.
+
+    NULL text: the join key is ``coalesce(md5(text), '<null>')`` on both
+    sides (and in the SQL twin) — a plain md5 equi-join would silently
+    drop null-text docs (NULL never equals NULL), whereas the old window
+    formulation grouped them; null-text docs form one group keyed by the
+    sentinel."""
+    key = F.coalesce(F.md5("text"), F.lit("<null>"))
+    groups = (
+        documents.groupBy(key.alias("text_fp"))
+        .agg(F.min("doc_id").cast("long").alias("canonical_id"))
+    )
     return (
         documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.md5("text").alias("text_fp"),
+            key.alias("text_fp"),
         )
         .join(groups, "text_fp")
         .select("doc_id", "canonical_id")
@@ -78,11 +89,13 @@ def exact_dedup_members(documents: DataFrame) -> DataFrame:
 def exact_dedup_members_sql() -> str:
     return """
         WITH groups AS (
-          SELECT md5(text) AS text_fp, min(doc_id)::BIGINT AS canonical_id
-          FROM documents GROUP BY md5(text)
+          SELECT coalesce(md5(text), '<null>') AS text_fp,
+                 min(doc_id)::BIGINT AS canonical_id
+          FROM documents GROUP BY coalesce(md5(text), '<null>')
         )
         SELECT d.doc_id::BIGINT AS doc_id, g.canonical_id AS canonical_id
-        FROM documents d JOIN groups g ON md5(d.text) = g.text_fp
+        FROM documents d
+        JOIN groups g ON coalesce(md5(d.text), '<null>') = g.text_fp
     """
 
 
@@ -434,9 +447,16 @@ def simhash_dup_pairs(
     that is an unboundable OUTPUT, not a join problem (AQE splits the
     skewed join, but the rows still exist). Pair-style output keeps
     oracle parity at test scale; at web scale pass ``False`` and read
-    mirror groups from :func:`exact_dedup_groups`-style aggregation over
-    the fingerprints instead.
+    mirror groups from :func:`simhash_mirror_groups` (output is one row
+    per fingerprint, bounded by the number of DISTINCT fingerprints).
     """
+    if k > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"simhash_dup_pairs: k={k} exceeds the candidate-complete "
+            f"bound of the fixed {SIMHASH_BANDS}-band layout (pigeonhole "
+            f"guarantees completeness only for k <= {SIMHASH_BANDS - 1}); "
+            "pairs at larger distances would be silently dropped"
+        )
     width = SIMHASH_BITS // SIMHASH_BANDS
     fps = track(simhash(documents))  # (doc_id, simhash) — reused 4x
     uf = fps.select("simhash").distinct()
@@ -555,6 +575,40 @@ def simhash_dup_pairs_sql(k: int = 3) -> str:
         FROM close_fps c
         JOIN fp da ON da.simhash = c.fa
         JOIN fp db ON db.simhash = c.fb
+    """
+
+
+def simhash_mirror_groups(documents: DataFrame) -> DataFrame:
+    """(simhash, n_docs, canonical_id) — one row per fingerprint shared
+    by 2+ docs: the bounded, web-scale-default view of SimHash mirrors.
+
+    :func:`simhash_dup_pairs` with ``include_mirror_pairs=True`` emits m²
+    rows for an m-doc mirror group — correct, oracle-checkable, and the
+    wrong default at 10⁸ mirrors. This is the scale twin for the
+    hamming-0 portion: a map-side-combinable groupBy on the fingerprint
+    (same aggregate shape as :func:`exact_dedup_groups`, so a
+    million-mirror boilerplate page collapses partition-locally before
+    the shuffle), output bounded by the number of DISTINCT fingerprints.
+    Pair with ``simhash_dup_pairs(include_mirror_pairs=False)`` for the
+    cross-fingerprint (hamming 1..k) pairs.
+    """
+    fps = simhash(documents)
+    return (
+        fps.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_mirror_groups_sql() -> str:
+    return f"""
+        WITH fp AS ({simhash_sql()})
+        SELECT simhash, count(*)::BIGINT AS n_docs,
+               min(doc_id)::BIGINT AS canonical_id
+        FROM fp GROUP BY simhash HAVING count(*) > 1
     """
 
 

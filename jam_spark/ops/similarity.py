@@ -123,8 +123,11 @@ def cosine_topk_fast(
     hashed into ``ceil(n/block_size)`` blocks, each block is packed into
     one (ids, float32-matrix) row executor-side, every (query-block,
     corpus-block) pair streams through a vectorized matmul+argpartition
-    that SELECTS candidates, and the surviving ≤2k-per-block candidate
-    set is RE-SCORED with the same sequential-float64 fold
+    that SELECTS candidates (the 2k-per-block margin, TIE-EXPANDED to
+    every column matching the weakest selected f32 score, so the set is
+    deterministic and candidate-complete even under mass-point ties),
+    and the surviving candidate set is RE-SCORED with the same
+    sequential-float64 fold
     :func:`cosine_topk` uses — so final (cosine, rank) values are
     bit-identical to the brute-force baseline and the DuckDB oracle
     (:func:`cosine_topk_sql` is this function's oracle too). The driver
@@ -159,8 +162,10 @@ def cosine_topk_fast(
     # corpora parallelize naturally via the n_blocks² block pairs
     n_blocks = -(-n // block_size)
     # candidate margin: the float32 block scores pick WHICH pairs reach
-    # the exact re-score; 2k per block absorbs any f32-vs-f64 boundary
-    # flips around the k-th place
+    # the exact re-score; 2k per block absorbs f32-vs-f64 boundary flips
+    # around the k-th place, and the tie expansion below makes the
+    # selection complete (and deterministic) under arbitrarily wide f32
+    # score ties
     k_cand = 2 * k
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -210,14 +215,36 @@ def cosine_topk_fast(
                     sims = np.where(self_mask, -np.inf, sims)
                 if k_cand < sims.shape[1] - 1:
                     top = np.argpartition(-sims, k_cand, axis=1)[:, :k_cand]
+                    # tie expansion: argpartition picks an ARBITRARY
+                    # (partition-order-dependent) subset of columns tied
+                    # at the k_cand-th f32 score — with >k_cand duplicate
+                    # embeddings in a block the exact f64 re-rank's
+                    # neighbor_id-asc tie-break could need an id that was
+                    # never selected. Keep EVERY column scoring >= the
+                    # weakest selected one: the candidate set is then a
+                    # deterministic function of the scores alone and
+                    # provably contains any pair the f64 re-rank can
+                    # place in the top-k (a mass-point corpus degrades
+                    # toward brute force, which is what exactness costs
+                    # there).
+                    thr = np.take_along_axis(sims, top, axis=1).min(axis=1)
+                    for qi in range(len(q_ids)):
+                        if thr[qi] == -np.inf:
+                            # fewer real columns than k_cand (self was
+                            # selected): keep all non-self
+                            nn = np.nonzero(sims[qi] > -np.inf)[0]
+                        else:
+                            nn = np.nonzero(sims[qi] >= thr[qi])[0]
+                        out_v.extend([int(q_ids[qi])] * len(nn))
+                        out_n.extend(c_ids[nn].tolist())
                 else:
                     top = np.broadcast_to(
                         np.arange(sims.shape[1]), sims.shape
                     )
-                for qi in range(len(q_ids)):
-                    nn = top[qi][sims[qi, top[qi]] > -np.inf]
-                    out_v.extend([int(q_ids[qi])] * len(nn))
-                    out_n.extend(c_ids[nn].tolist())
+                    for qi in range(len(q_ids)):
+                        nn = top[qi][sims[qi, top[qi]] > -np.inf]
+                        out_v.extend([int(q_ids[qi])] * len(nn))
+                        out_n.extend(c_ids[nn].tolist())
             yield pd.DataFrame(
                 {
                     "vec_id": pd.array(out_v, dtype="int64"),
@@ -279,9 +306,11 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFrame
     pairs-style outputs of the minhash/simhash/ngram dedup family).
 
     This is the exact O(n²) oracle baseline (sequential-float64 fold ⇒
-    DuckDB-checkable); at scale generate candidates with
-    :func:`ann_lsh_topk` / :func:`ann_ivf_topk` buckets and re-score —
-    same contract as cosine_topk vs its ANN paths.
+    DuckDB-checkable); :func:`ann_dup_pairs` is its SCALE TWIN — capped
+    LSH/IVF bucket candidates re-scored with the identical fold, strict
+    ``>`` threshold — the same baseline↔scale contract cosine_topk has
+    with the two ann_*_topk paths. Use that one on anything bigger than
+    an oracle corpus.
     """
     a = embeddings.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = embeddings.select(
@@ -332,6 +361,50 @@ def _cosine_pair_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
     num = (a * b).sum(axis=1)
     den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
     return pd.Series(num / den)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_seq_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
+    """Sequential-float64 cosine, INDEPENDENTLY implemented in numpy:
+    ``cumsum`` is a strict left-to-right prefix sum (with the fold's 0.0
+    initial accumulator prepended), so the result is bit-identical to
+    the JVM ``F.aggregate`` fold and to DuckDB's ``list_reduce`` — used
+    by :func:`ann_rescored` to certify ANN scores cross-implementation."""
+    out = np.empty(len(ea), dtype=np.float64)
+    zero = np.zeros(1, dtype=np.float64)
+    for i in range(len(ea)):
+        a = np.asarray(ea.iloc[i], dtype=np.float64)
+        b = np.asarray(eb.iloc[i], dtype=np.float64)
+        num = np.cumsum(np.concatenate((zero, a * b)))[-1]
+        na = np.sqrt(np.cumsum(np.concatenate((zero, a * a)))[-1])
+        nb = np.sqrt(np.cumsum(np.concatenate((zero, b * b)))[-1])
+        out[i] = num / (na * nb)
+    return pd.Series(out)
+
+
+def _exact_rescore(cand: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Attach the exact sequential-f64 fold cosine to (vec_id,
+    neighbor_id) candidate pairs — the ONE scoring implementation every
+    exact/ANN path shares, so scores are bit-comparable across
+    cosine_topk / cosine_dup_pairs / ann_* and the DuckDB oracle."""
+    emb = embeddings.select("vec_id", "embedding")
+    return (
+        cand.join(emb.withColumnsRenamed({"embedding": "ea"}), "vec_id")
+        .join(
+            emb.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "embedding": "eb"}
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (_norm(F.col("ea")) * _norm(F.col("eb")))
+            ).alias("cosine"),
+        )
+    )
 
 
 # ------------------------------------------------ LSH-bucketed ANN path
@@ -506,6 +579,40 @@ def ann_ivf_topk(
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, neighbor_id long, cosine double, rank long"
         )
+    cand = _ivf_candidates(
+        embeddings, n, n_cells, n_probe, target_cell, cell_cap,
+        train_sample, train_iters,
+    )
+    scored = _exact_rescore(cand, embeddings)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def _ivf_candidates(
+    embeddings: DataFrame,
+    n: int,
+    n_cells: int | None = None,
+    n_probe: int = 4,
+    target_cell: int = 256,
+    cell_cap: int | None = None,
+    train_sample: int = 65536,
+    train_iters: int = 10,
+) -> DataFrame:
+    """DIRECTED (vec_id, neighbor_id) candidates, distinct, no self
+    pairs: each query joined against the capped postings of its
+    ``n_probe`` nearest IVF cells. Shared by :func:`ann_ivf_topk` and
+    :func:`ann_dup_pairs`."""
     if cell_cap is None:
         cell_cap = 8 * target_cell
     if n_cells is None:
@@ -555,7 +662,7 @@ def ann_ivf_topk(
     probes = assigned.select(
         "vec_id", F.explode("probes").alias("bucket")
     )
-    cand = (
+    return (
         probes.join(
             corpus.withColumnRenamed("vec_id", "neighbor_id"), "bucket"
         )
@@ -563,31 +670,58 @@ def ann_ivf_topk(
         .select("vec_id", "neighbor_id")
         .distinct()
     )
-    emb = embeddings.select("vec_id", "embedding")
-    scored = (
-        cand.join(
-            emb.withColumnsRenamed({"embedding": "ea"}), "vec_id"
-        )
-        .join(
-            emb.withColumnsRenamed({"vec_id": "neighbor_id", "embedding": "eb"}),
-            "neighbor_id",
-        )
-        .select(
-            "vec_id", "neighbor_id", _cosine_pair_udf("ea", "eb").alias("cosine")
+
+
+def _lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_planes: int | None = None,
+    n_tables: int = 24,
+    target_bucket: int = 128,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id), vec_id < neighbor_id, distinct — candidate
+    pairs sharing ≥1 random-hyperplane LSH bucket. The shared candidate
+    generator behind :func:`ann_lsh_topk` and :func:`ann_dup_pairs`: the
+    bucket self-join carries IDS ONLY (embeddings, ~512B each, attach
+    later via equi-joins, so the shuffle moves ~16 bytes per candidate
+    instead of ~1KB); hot buckets are capped by
+    :func:`thin_hot_buckets`."""
+    if bucket_cap is None:
+        bucket_cap = 8 * target_bucket
+    if n_planes is None:
+        n_planes = auto_n_planes(embeddings.count(), target_bucket)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_udf(emb: pd.Series) -> pd.Series:
+        mat = np.vstack(emb.to_numpy())
+        planes = _planes_all(mat.shape[1], n_planes, n_tables)
+        sigs = []
+        for t in range(n_tables):
+            proj = mat @ planes[t].T  # (n, n_planes)
+            bits = (proj > 0).astype(np.uint64)
+            sig = np.zeros(len(mat), dtype=np.uint64)
+            for p in range(n_planes):
+                sig = (sig << np.uint64(1)) | bits[:, p]
+            # bucket id unique per (table, signature): t * 2^p + sig
+            sigs.append((np.uint64(t) << np.uint64(n_planes)) | sig)
+        stacked = np.stack(sigs, axis=1).astype(np.int64)
+        return pd.Series(list(stacked))
+
+    b = track(
+        embeddings.select(
+            "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
+    b = thin_hot_buckets(b, bucket_cap)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        b.alias("x")
+        .join(b.alias("y"), "bucket")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
-            F.col("vec_id").cast("long"),
-            F.col("neighbor_id").cast("long"),
-            "cosine",
-            F.col("rank").cast("long"),
+            F.col("x.vec_id").alias("vec_id"),
+            F.col("y.vec_id").alias("neighbor_id"),
         )
+        .distinct()
     )
 
 
@@ -613,58 +747,10 @@ def ann_lsh_topk(
     WORST-case bucket via :func:`thin_hot_buckets` — expected-case math
     never triggers it; adversarial mass points can't m² the self-join.
     """
-    if bucket_cap is None:
-        bucket_cap = 8 * target_bucket
-    if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count(), target_bucket)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucket_udf(emb: pd.Series) -> pd.Series:
-        mat = np.vstack(emb.to_numpy())
-        planes = _planes_all(mat.shape[1], n_planes, n_tables)
-        sigs = []
-        for t in range(n_tables):
-            proj = mat @ planes[t].T  # (n, n_planes)
-            bits = (proj > 0).astype(np.uint64)
-            sig = np.zeros(len(mat), dtype=np.uint64)
-            for p in range(n_planes):
-                sig = (sig << np.uint64(1)) | bits[:, p]
-            # bucket id unique per (table, signature): t * 2^p + sig
-            sigs.append((np.uint64(t) << np.uint64(n_planes)) | sig)
-        stacked = np.stack(sigs, axis=1).astype(np.int64)
-        return pd.Series(list(stacked))
-
-    # bucket join carries IDS ONLY — embeddings (512B each) attach after
-    # dedup via broadcast-able joins, so the self-join shuffles ~16 bytes
-    # per candidate instead of ~1KB
-    b = track(
-        embeddings.select(
-            "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
-        )
+    cand = _lsh_candidate_pairs(
+        embeddings, n_planes, n_tables, target_bucket, bucket_cap
     )
-    b = thin_hot_buckets(b, bucket_cap)
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), "bucket")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_id"),
-            F.col("y.vec_id").alias("neighbor_id"),
-        )
-        .distinct()
-    )
-    emb = embeddings.select("vec_id", "embedding")
-    scored = (
-        cand.join(
-            emb.withColumnsRenamed({"vec_id": "vec_id", "embedding": "ea"}),
-            "vec_id",
-        )
-        .join(
-            emb.withColumnsRenamed({"vec_id": "neighbor_id", "embedding": "eb"}),
-            "neighbor_id",
-        )
-        .select("vec_id", "neighbor_id", _cosine_pair_udf("ea", "eb").alias("cosine"))
-    )
+    scored = _exact_rescore(cand, embeddings)
     sym = scored.unionByName(
         scored.select(
             F.col("neighbor_id").alias("vec_id"),
@@ -685,3 +771,122 @@ def ann_lsh_topk(
             F.col("rank").cast("long"),
         )
     )
+
+
+# ------------------------------------- embedding near-dup pairs at scale
+
+def ann_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_tables: int = 24,
+    target_bucket: int = 128,
+    bucket_cap: int | None = None,
+    n_probe: int = 4,
+    target_cell: int = 256,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor_id, cosine), vec_id < neighbor_id — embedding
+    near-dup pairs above ``threshold`` (strict ``>``): the SCALE path for
+    semantic dedup, with :func:`cosine_dup_pairs` as its exact parity
+    oracle (the same contract :func:`cosine_topk` has with the two
+    ann_*_topk paths, and the same all-pairs→index progression the
+    reference takes from ``/root/reference/src/compare.rs:96-127`` to
+    ``:308-387``).
+
+    Scale shape: candidates come from the capped LSH bucket self-join
+    (``method='lsh'``, :func:`_lsh_candidate_pairs` — ids-only shuffle,
+    per-bucket work O(cap²)) or the capped IVF probe join
+    (``method='ivf'``); only candidates are re-scored, with the
+    identical sequential-f64 fold every exact path uses, so any pair
+    BOTH emit carries a bit-equal cosine. Membership is approximate
+    (recall floors enforced in tests: ≥0.99 on planted near-dup corpora
+    at threshold 0.9); output volume is bounded by the candidate caps
+    even on mass-point corpora, where the exact twin's output is
+    irreducibly m².
+    """
+    if method == "lsh":
+        cand = _lsh_candidate_pairs(
+            embeddings,
+            n_tables=n_tables,
+            target_bucket=target_bucket,
+            bucket_cap=bucket_cap,
+        )
+    elif method == "ivf":
+        n = embeddings.count()
+        if n == 0:
+            return embeddings.sparkSession.createDataFrame(
+                [], "vec_id long, neighbor_id long, cosine double"
+            )
+        directed = _ivf_candidates(
+            embeddings, n, n_probe=n_probe, target_cell=target_cell,
+            cell_cap=cell_cap,
+        )
+        cand = (
+            directed.select(
+                F.least("vec_id", "neighbor_id").alias("vec_id"),
+                F.greatest("vec_id", "neighbor_id").alias("neighbor_id"),
+            )
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}; expected lsh|ivf")
+    return (
+        _exact_rescore(cand, embeddings)
+        .filter(F.col("cosine") > threshold)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("neighbor_id").cast("long"),
+            "cosine",
+        )
+    )
+
+
+def ann_rescored(embeddings: DataFrame, k: int = 5, method: str = "ivf") -> DataFrame:
+    """One-row certification that ANN *scoring* is exact — the
+    driver-checkable half of the ANN contract.
+
+    ANN neighbor MEMBERSHIP is approximate (pytest recall floors are the
+    authority there; no ANSI-SQL oracle can replay LSH/k-means), but
+    every cosine an ANN path returns is the exact sequential-f64 fold of
+    a concrete (vec_id, neighbor_id) pair. This query re-derives that
+    value for every returned pair with an INDEPENDENT implementation
+    (:func:`_cosine_seq_udf`: numpy cumsum prefix-sum vs the JVM
+    ``F.aggregate`` fold) and returns::
+
+        n_pairs_mismatched BIGINT,  -- pairs where reported != recomputed
+        nonempty BOOLEAN            -- guard against vacuous truth
+
+    against the constant oracle ``SELECT 0, true`` — hash-green iff
+    every ANN cosine is bit-exact. ``method`` picks the certified path.
+    """
+    ann = (
+        ann_ivf_topk(embeddings, k=k)
+        if method == "ivf"
+        else ann_lsh_topk(embeddings, k=k)
+    )
+    emb = embeddings.select("vec_id", "embedding")
+    rescored = (
+        ann.join(emb.withColumnsRenamed({"embedding": "ea"}), "vec_id")
+        .join(
+            emb.withColumnsRenamed(
+                {"vec_id": "neighbor_id", "embedding": "eb"}
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "cosine", _cosine_seq_udf("ea", "eb").alias("re_cosine")
+        )
+    )
+    return rescored.agg(
+        F.sum(
+            F.when(F.col("cosine") != F.col("re_cosine"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pairs_mismatched"),
+        (F.count(F.lit(1)) > 0).alias("nonempty"),
+    )
+
+
+def ann_rescored_sql() -> str:
+    return "SELECT 0::BIGINT AS n_pairs_mismatched, true AS nonempty"

@@ -72,12 +72,14 @@ def sketch_stage(
     else:
         sketch_col = make_sketch_udf(params)(F.col("text"))
     # the sketch runs map-side inside the scan, so scan partitions ARE
-    # its parallelism. A pathological input (one giant parquet row group)
+    # its parallelism. A pathological input (one small parquet file)
     # would serialize the CPU-heaviest stage — repartition only then; at
-    # 100TB inputs always carry >= cores splits and this adds no shuffle.
-    spark_parallelism = pages.sparkSession.sparkContext.defaultParallelism
-    if pages.rdd.getNumPartitions() < spark_parallelism:
-        pages = pages.repartition(spark_parallelism)
+    # 100TB inputs always carry >= cores splits and this adds no
+    # shuffle. The probe is driver-side file metadata, not df.rdd (which
+    # paid a second analysis/planning pass per pipeline call).
+    from .scan import ensure_scan_parallelism
+
+    pages = ensure_scan_parallelism(pages)
     if dedup_exact_first:
         # sketch branch: fingerprint + sketch computed side by side in one
         # map-only pass over the scan. identical text ⇒ identical sketch,

@@ -1,0 +1,76 @@
+"""Scan-parallelism guard without touching ``df.rdd``.
+
+Map-heavy operators (the sketch UDF, simhash, token stats) compute
+INSIDE the scan stage, so scan splits are their parallelism. A
+pathological input — one small parquet file, or a file whose single row
+group defeats byte-range splitting — would serialize them on one task.
+
+The previous guard probed ``df.rdd.getNumPartitions()``, which forces a
+second full analysis + physical-planning pass (and, under AQE, can
+materialize query stages) for every operator call. This module instead
+estimates the scan's split count from driver-side FILE METADATA only
+(``df.inputFiles()`` + local stat), which costs no Spark job:
+
+    est_splits = max(n_files, ceil(total_bytes / maxPartitionBytes))
+
+— the same arithmetic ``FilePartition`` uses, ignoring the open-cost
+packing term (which only makes Spark create FEWER partitions, i.e. the
+estimate is optimistic exactly when repartitioning is needed anyway).
+
+At 100 TB any real input yields >= cores splits and the guard is a
+driver-side no-op; non-local URIs (hdfs/s3) are assumed healthy for the
+same reason. In-memory DataFrames (no input files — tests, ad-hoc
+frames) are small by construction: repartitioning them costs a trivial
+shuffle and guarantees the map stage spreads.
+"""
+
+from __future__ import annotations
+
+import os
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+
+def _estimate_scan_splits(df: DataFrame) -> int | None:
+    """Estimated file-scan partition count, or None when the input is
+    not locally stat-able (remote URIs) — callers should then leave the
+    plan alone (remote inputs at scale always carry enough splits)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return 0  # in-memory relation
+    try:
+        max_bytes = int(
+            df.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            ).rstrip("b")
+        )
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    total = 0
+    for f in files:
+        parsed = urlparse(f)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = parsed.path or f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return max(len(files), -(-total // max_bytes))
+
+
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to ``defaultParallelism`` only when the scan
+    would under-parallelize a map-side-heavy stage; pure driver-side
+    metadata probe, no extra Spark job or analysis pass."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimate_scan_splits(df)
+    if est is None:
+        return df
+    if est < target:
+        return df.repartition(target)
+    return df

@@ -71,3 +71,20 @@ def test_exact_dedup_members_oracle_parity(spark):
     _parity(
         spark, docs, exact_dedup_members, exact_dedup_members_sql(), ["doc_id"]
     )
+
+
+def test_exact_dedup_members_null_text_not_dropped(spark):
+    """Null-text docs must appear in the output (grouped together under
+    the sentinel key), not vanish through a null-vs-null equi-join —
+    and Spark must agree with the DuckDB oracle on them."""
+    from jam_spark.ops.dedup import exact_dedup_members, exact_dedup_members_sql
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": [None, None, "x", "x"]}
+    )
+    out = exact_dedup_members(spark.createDataFrame(docs))
+    rows = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert rows == {1: 1, 2: 1, 3: 3, 4: 3}
+    _parity(
+        spark, docs, exact_dedup_members, exact_dedup_members_sql(), ["doc_id"]
+    )

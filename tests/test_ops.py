@@ -422,3 +422,155 @@ def test_cosine_dup_pairs_finds_planted_near_dups(spark):
         for r in cosine_dup_pairs(embs, threshold=0.9).collect()
     }
     assert got == {(1, 2), (3, 4)}
+
+
+def test_cosine_topk_fast_mass_point_ties_bit_exact(spark):
+    """Adversarial tie corpus: MORE duplicate embeddings than the 2k
+    candidate margin, split across blocks. The f32 block scores tie for
+    all of them; the tie expansion must still select every id the exact
+    f64 re-rank's neighbor_id-asc tie-break can need, so the result is
+    id-for-id, bit-for-bit equal to brute force (and deterministic)."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import cosine_topk, cosine_topk_fast
+
+    rng = np.random.default_rng(3)
+    dup = [1.0, 0.0, 0.0, 0.0]
+    vecs = [dup] * 40 + [
+        [float(x) for x in v] for v in rng.normal(size=(20, 4))
+    ]
+    embs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": vecs})
+    )
+    exact = {
+        (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(embs, k=5).collect()
+    }
+    for attempt in range(2):  # determinism across runs too
+        fast = {
+            (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in cosine_topk_fast(embs, k=5, block_size=16).collect()
+        }
+        assert fast == exact, attempt
+
+
+def test_ann_dup_pairs_recall_and_score_parity(spark):
+    """The scale twin's contract vs cosine_dup_pairs on a planted,
+    mass-point-free near-dup corpus: recall >= 0.99 at threshold 0.9, no
+    false positives (every emitted pair really clears the threshold —
+    it is exact-rescored), and every common pair's cosine is BIT-equal
+    (same sequential-f64 fold)."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import ann_dup_pairs, cosine_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(100, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:30] + 0.02 * rng.normal(size=(30, 16))
+    vecs = np.vstack([base, near])
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vecs)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+            }
+        )
+    )
+    want = {
+        (r["vec_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_dup_pairs(embs, threshold=0.9).collect()
+    }
+    assert len(want) >= 30  # the planted dups are really above threshold
+    for method in ("lsh", "ivf"):
+        got = {
+            (r["vec_id"], r["neighbor_id"]): r["cosine"]
+            for r in ann_dup_pairs(embs, threshold=0.9, method=method).collect()
+        }
+        recall = len(set(got) & set(want)) / len(want)
+        assert recall >= 0.99, f"{method} recall {recall}"
+        extras = set(got) - set(want)
+        assert not extras, (method, list(extras)[:5])
+        for key in set(got) & set(want):
+            assert got[key] == want[key], (method, key)
+
+
+def test_ann_dup_pairs_mass_point_output_bounded(spark):
+    """cosine_dup_pairs on an m-duplicate corpus is irreducibly m²/2
+    rows; the scale twin's bucket caps must bound BOTH the join and the
+    output while still emitting cosine-1.0 pairs."""
+    import pandas as pd
+
+    from jam_spark.ops.similarity import ann_dup_pairs
+
+    n = 3000  # exact twin would emit ~4.5M pairs
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [[1.0, 0.0, 0.0, 0.0]] * n}
+        )
+    )
+    rows = ann_dup_pairs(embs, threshold=0.5, bucket_cap=100).collect()
+    assert 0 < len(rows) < 1_000_000, len(rows)
+    assert all(abs(r["cosine"] - 1.0) < 1e-12 for r in rows)
+
+
+def test_ann_rescored_certifies_exact_scoring(spark):
+    """Every cosine either ANN path returns must re-derive bit-exactly
+    through the independent numpy sequential-fold implementation — the
+    one-row invariant the driver checks against SELECT 0, true."""
+    from jam_spark.ops.similarity import ann_rescored
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for method in ("ivf", "lsh"):
+        row = ann_rescored(embs, k=3, method=method).collect()[0]
+        assert row["n_pairs_mismatched"] == 0, method
+        assert row["nonempty"] is True, method
+
+
+def test_simhash_mirror_groups_bound_planted_mirrors(spark):
+    """A 2000-mirror page must collapse to ONE groups row (not 2M pair
+    rows); simhash_dup_pairs(include_mirror_pairs=False) must drop the
+    mirror pairs while leaving cross-fingerprint pairs unchanged."""
+    import pandas as pd
+
+    from jam_spark.ops.dedup import (
+        simhash_dup_pairs,
+        simhash_mirror_groups,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for updates terms of service privacy "
+        "policy all rights reserved contact us about careers"
+    )
+    texts = [boiler] * 2000 + [
+        boiler.replace("careers", "jobs"),
+        "completely unrelated page about distributed joins and shuffles",
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    )
+    groups = simhash_mirror_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2000
+    assert groups[0]["canonical_id"] == 0
+
+    cross_only = simhash_dup_pairs(docs, include_mirror_pairs=False).collect()
+    assert all(r["hamming"] > 0 for r in cross_only)
+    both = simhash_dup_pairs(docs, include_mirror_pairs=True)
+    cross_of_both = both.filter(F.col("hamming") > 0).collect()
+    assert sorted(map(tuple, cross_only)) == sorted(map(tuple, cross_of_both))
+
+
+def test_simhash_dup_pairs_rejects_incomplete_k(spark):
+    """k beyond the 4-band pigeonhole bound would silently drop pairs —
+    must refuse instead."""
+    import pandas as pd
+    import pytest
+
+    from jam_spark.ops.dedup import simhash_dup_pairs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["some text"]})
+    )
+    with pytest.raises(ValueError, match="candidate-complete"):
+        simhash_dup_pairs(docs, k=4)

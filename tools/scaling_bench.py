@@ -53,18 +53,51 @@ sys.path.insert(0, REPO)
 #: file carries the raw draws.
 HISTORY = os.path.join(REPO, "BENCH", "scaling_samples.jsonl")
 
+#: the sources whose behavior the scaling measurement exercises; their
+#: content hash stamps every sample so draws of OLD code never pool with
+#: draws of new code (round-3 advice: a stale fast sample would otherwise
+#: pin the per-level minimum forever and mask a scaling regression)
+_CORE_MODULES = (
+    "pipeline.py", "pairs.py", "bands.py", "sketch.py", "cluster.py",
+    "hashes.py", "normalize.py", "params.py", "session.py",
+    "_persist.py", "_malloc.py", "scan.py",
+)
+
+
+def _pipeline_fingerprint() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    base = os.path.join(REPO, "jam_spark")
+    for m in _CORE_MODULES:
+        p = os.path.join(base, m)
+        if os.path.exists(p):
+            h.update(m.encode())
+            with open(p, "rb") as f:
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
 
 def _record_sample(r: dict, mode: str) -> None:
     os.makedirs(os.path.dirname(HISTORY), exist_ok=True)
     with open(HISTORY, "a") as f:
-        f.write(json.dumps({**r, "mode": mode, "ts": time.time()}) + "\n")
+        f.write(
+            json.dumps(
+                {**r, "mode": mode, "ts": time.time(),
+                 "fp": _pipeline_fingerprint()}
+            )
+            + "\n"
+        )
 
 
 def _history_samples(cores: int, docs: int) -> list[dict]:
-    """All published draws at this (cores, docs) level. The `mode` field
-    is provenance only: a 16-core run over the 1M corpus is the same
-    measurement whether a strong (4->16) or weak (matched-load) pair
-    consumed it, so samples pool across modes."""
+    """Published draws at this (cores, docs) level FOR THE CURRENT CODE
+    (matching pipeline fingerprint — unstamped/old-code samples stay in
+    the file for audit but never pool into the estimate). The `mode`
+    field is provenance only: a 16-core run over the 1M corpus is the
+    same measurement whether a strong (4->16) or weak (matched-load)
+    pair consumed it, so samples pool across modes."""
+    fp = _pipeline_fingerprint()
     out: list[dict] = []
     if os.path.exists(HISTORY):
         for line in open(HISTORY):
@@ -72,7 +105,11 @@ def _history_samples(cores: int, docs: int) -> list[dict]:
                 r = json.loads(line)
             except ValueError:
                 continue
-            if r.get("cores") == cores and r.get("docs") == docs:
+            if (
+                r.get("cores") == cores
+                and r.get("docs") == docs
+                and r.get("fp") == fp
+            ):
                 out.append(r)
     return out
 
@@ -176,7 +213,7 @@ def _measure_level_pair(
     eff = (t_n / t_4n) / 4
     return {
         "runs": [
-            {k: v for k, v in r.items() if k not in ("mode", "ts", "src")}
+            {k: v for k, v in r.items() if k not in ("mode", "ts", "src", "fp")}
             for r in results.values()
         ],
         "summary": {
@@ -239,7 +276,7 @@ def _measure_weak_pair(
     t_n, t_4n = results[n]["wall_sec"], results[4 * n]["wall_sec"]
     return {
         "runs": [
-            {k: v for k, v in r.items() if k not in ("mode", "ts", "src")}
+            {k: v for k, v in r.items() if k not in ("mode", "ts", "src", "fp")}
             for r in results.values()
         ],
         "summary": {
