@@ -458,56 +458,60 @@ def simhash_dup_pairs(
             "pairs at larger distances would be silently dropped"
         )
     width = SIMHASH_BITS // SIMHASH_BANDS
-    fps = track(simhash(documents))  # (doc_id, simhash) — reused 4x
-    uf = fps.select("simhash").distinct()
+    # every stage past the fingerprint works on the 60-bit fingerprint
+    # as ONE long (`fpl`): the banded join/distinct shuffles 8-byte keys
+    # instead of 60-char strings (~4x narrower exchanges), band values
+    # are shift+mask bit fields packed with their band_id into a single
+    # 8-byte join key, and hamming is bit_count(xor) — one popcount vs
+    # 60 per-char comparisons. Same pairs, same distances as the string
+    # formulation the SQL twin runs (banding only affects candidate
+    # GENERATION, which is pigeonhole-complete either way); measured
+    # ~8.1s -> ~1.8s warm on the 5k-doc sf0.1 table (271k output pairs).
+    fps = track(
+        simhash(documents).withColumn(
+            "fpl", F.conv("simhash", 2, 10).cast("long")
+        )
+    )  # (doc_id, simhash, fpl) — reused 4x
+    uf = fps.select("fpl").distinct()
+    # band b covers bit positions [45-15b, 60-15b); key packs band_id
+    # into the top bits (band values are < 2^15, ids < 4)
     bands = uf.select(
-        "simhash",
-        F.posexplode(
+        "fpl",
+        F.explode(
             F.array(
                 *[
-                    F.substring("simhash", 1 + b * width, width)
+                    F.shiftrightunsigned("fpl", (SIMHASH_BANDS - 1 - b) * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .bitwiseOR(F.lit(b << (width + 1)))
                     for b in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("band_id", "band_val"),
+        ).alias("bkey"),
     )
     if band_cap:
         from .similarity import thin_hot_buckets
 
         bands = thin_hot_buckets(
-            bands.withColumn(
-                "bucket",
-                F.xxhash64(F.col("band_id").cast("string"), "band_val"),
-            ),
-            band_cap,
-            id_col="simhash",
-        ).drop("bucket")
+            bands.withColumnRenamed("bkey", "bucket"), band_cap, id_col="fpl"
+        ).withColumnRenamed("bucket", "bkey")
     cand = (
         bands.alias("x")
-        .join(bands.alias("y"), ["band_id", "band_val"])
-        .filter(F.col("x.simhash") < F.col("y.simhash"))
-        .select(
-            F.col("x.simhash").alias("fa"), F.col("y.simhash").alias("fb")
-        )
+        .join(bands.alias("y"), "bkey")
+        .filter(F.col("x.fpl") < F.col("y.fpl"))
+        .select(F.col("x.fpl").alias("fa"), F.col("y.fpl").alias("fb"))
         .distinct()
     )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.split(F.col("fa"), ""),
-            F.split(F.col("fb"), ""),
-            lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+    hamming = F.bit_count(
+        F.col("fa").bitwiseXOR(F.col("fb"))
     ).cast("long")
     close_fps = cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= k
     )
     # same-fingerprint doc pairs (hamming 0): exact mirrors
-    a = fps.select(F.col("doc_id").alias("doc_a"), "simhash")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "simhash")
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fpl")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fpl")
     same = (
-        a.join(b, "simhash")
+        a.join(b, "fpl")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a", "doc_b", F.lit(0).cast("long").alias("hamming")
@@ -516,11 +520,11 @@ def simhash_dup_pairs(
     # cross-fingerprint doc pairs: expand fp pairs back to members
     cross = (
         close_fps.join(
-            fps.select(F.col("doc_id").alias("da"), F.col("simhash").alias("fa")),
+            fps.select(F.col("doc_id").alias("da"), F.col("fpl").alias("fa")),
             "fa",
         )
         .join(
-            fps.select(F.col("doc_id").alias("db"), F.col("simhash").alias("fb")),
+            fps.select(F.col("doc_id").alias("db"), F.col("fpl").alias("fb")),
             "fb",
         )
         .select(
