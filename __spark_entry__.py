@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_dup_pairs": q(
             lambda s, d: similarity.ann_dup_pairs(_embs(s, d), threshold=0.35)
         ),
+        # semantic-dedup clusters over the capped pair edges (CC closure)
+        "ann_dup_clusters": q(
+            lambda s, d: similarity.ann_dup_clusters(_embs(s, d), threshold=0.35)
+        ),
         "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
         "ann_ivf_topk": q(lambda s, d: similarity.ann_ivf_topk(_embs(s, d))),
         # driver-checkable ANN *scoring* certification: every cosine the

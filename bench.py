@@ -105,6 +105,10 @@ def main() -> None:
         ("minhash_pairs", lambda: dedup.minhash_pairs(docs)),
         ("minhash_clusters", lambda: dedup.minhash_clusters(docs)),
         ("cosine_topk_fast", lambda: similarity.cosine_topk_fast(embs)),
+        (
+            "ann_dup_pairs",
+            lambda: similarity.ann_dup_pairs(embs, threshold=0.35),
+        ),
         ("ann_lsh_topk", lambda: similarity.ann_lsh_topk(embs)),
         ("ann_ivf_topk", lambda: similarity.ann_ivf_topk(embs)),
         (

@@ -890,3 +890,29 @@ def ann_rescored(embeddings: DataFrame, k: int = 5, method: str = "ivf") -> Data
 
 def ann_rescored_sql() -> str:
     return "SELECT 0::BIGINT AS n_pairs_mismatched, true AS nonempty"
+
+
+def ann_dup_clusters(
+    embeddings: DataFrame, threshold: float = 0.9, method: str = "lsh",
+) -> DataFrame:
+    """(vec_id, cluster_id) — semantic-dedup clusters: connected
+    components over the :func:`ann_dup_pairs` edge set, labels = min
+    vec_id per component (the embedding-space analogue of the flagship
+    minhash_clusters output; singletons label themselves).
+
+    Scale shape: edges come from the capped candidate join (never
+    all-pairs); closure reuses :func:`jam_spark.cluster.
+    connected_components` — driver union-find under the hybrid
+    threshold, hash-min label propagation with pointer jumping above it.
+    """
+    from ..cluster import connected_components
+
+    pairs = ann_dup_pairs(embeddings, threshold=threshold, method=method)
+    nodes = embeddings.select("vec_id")
+    out = connected_components(
+        pairs, nodes, id_a="vec_id", id_b="neighbor_id"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

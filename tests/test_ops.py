@@ -574,3 +574,42 @@ def test_simhash_dup_pairs_rejects_incomplete_k(spark):
     )
     with pytest.raises(ValueError, match="candidate-complete"):
         simhash_dup_pairs(docs, k=4)
+
+
+def test_ann_dup_clusters_match_exact_closure(spark):
+    """Semantic-dedup clusters: CC over ann_dup_pairs edges must equal
+    CC over the exact cosine_dup_pairs edges on a planted near-dup
+    corpus (min-vec_id labels, singletons label themselves)."""
+    import pandas as pd
+
+    from jam_spark.cluster import connected_components
+    from jam_spark.ops.similarity import ann_dup_clusters, cosine_dup_pairs
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(60, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    near = base[:20] + 0.02 * rng.normal(size=(20, 16))
+    vecs = np.vstack([base, near])
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(vecs)),
+                "embedding": [[float(x) for x in v] for v in vecs],
+            }
+        )
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ann_dup_clusters(embs, threshold=0.9).collect()
+    }
+    want_pairs = cosine_dup_pairs(embs, threshold=0.9)
+    want = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            want_pairs, embs.select("vec_id"),
+            id_a="vec_id", id_b="neighbor_id",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == len(vecs)  # every vector labeled
+    assert any(got[i] != i for i in range(60, 80))  # near-dups merged
