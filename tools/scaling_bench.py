@@ -296,7 +296,14 @@ def _measure_weak_pair(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=1000000)
+    # corpus sized so PARALLEL work dominates the fixed floor (driver CC,
+    # plan/stage scheduling, barriers — ~30s at any level). The round-2
+    # engine needed 1M docs for that; round 4 made the pairs stage ~1.3x
+    # faster at the small level (packed band key), shrinking the parallel
+    # numerator, so the same standard now needs ~2M docs — the gate
+    # measures the JOB's scalability, not the ratio of a fixed floor to a
+    # shrinking numerator (at 10^12 docs the floor is invisible).
+    ap.add_argument("--pages", type=int, default=2000000)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument(
         "--weak", action="store_true",
