@@ -13,6 +13,18 @@
   partitions the corpus into cells; each query probes its ``n_probe``
   nearest cells; exact cosine re-rank inside probed cells. The second
   scale path — data-adaptive cells where LSH's are oblivious.
+- :func:`cosine_dup_pairs` / :func:`ann_dup_pairs` /
+  :func:`ann_dup_clusters` — the embedding near-dup PAIR and CLUSTER
+  family: exact O(n²) oracle baseline, its capped-candidate scale twin,
+  and the connected-components closure over the twin's edges.
+- :func:`ann_rescored` — one-row, driver-checkable certification that
+  every cosine an ANN path returns is the exact sequential-f64 fold of
+  its pair (cross-implementation: JVM fold vs numpy cumsum).
+
+Every exact score in this module — baselines, fast path re-rank, ANN
+re-rank, dup-pair thresholds — is the SAME sequential-float64 fold, so
+values are bit-comparable across operators and to the DuckDB oracle's
+``list_reduce``.
 """
 
 from __future__ import annotations
@@ -352,15 +364,6 @@ def cosine_dup_pairs_sql(threshold: float = 0.9) -> str:
           WHERE a.vec_id < b.vec_id
         ) WHERE cosine > {threshold}
     """
-
-
-@F.pandas_udf(T.DoubleType())
-def _cosine_pair_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
-    a = np.vstack(ea.to_numpy()).astype(np.float64)
-    b = np.vstack(eb.to_numpy()).astype(np.float64)
-    num = (a * b).sum(axis=1)
-    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    return pd.Series(num / den)
 
 
 @F.pandas_udf(T.DoubleType())
