@@ -360,14 +360,25 @@ def main() -> None:
             f"{n}x4": m["summary"] for n, m in measured.items()
         },
         "note": (
-            "summary = smallest level pair (primary gate): single-box "
-            "proxy for N vs 4N EXECUTORS; larger pairs progressively "
-            "saturate the one shared memory subsystem, which separately "
-            "provisioned clusters do not share (see BENCH/BASELINE.md). "
-            "t_* = per-level MINIMUM over all published samples "
-            "(BENCH/scaling_samples.jsonl; n_samples in each summary) — "
-            "host weather on this VM swings 2-3x, so the minimum across "
-            "independent interleaved draws estimates the unloaded time"
+            "summary = smallest level pair (primary gate): per the membw "
+            "probe (BENCH/membw.json) per-core DRAM bandwidth is flat "
+            "only through 4 active cores, so 1->4 is the one pair the "
+            "box's shared memory subsystem does not penalize; larger "
+            "pairs progressively measure that shared ceiling, which "
+            "separately provisioned clusters do not share. CAVEAT read "
+            "with BENCH/BASELINE.md: the 1-core level overpays in the "
+            "other direction (JVM scan/shuffle and the Arrow Python "
+            "sketch worker serialize on one core; ParallelGC runs "
+            "single-threaded), so 1->4 can read superlinear — the "
+            "single-box pairs BRACKET the job's true efficiency from "
+            "above (1->4) and below (2->8, 4->16); the weak-scaling run "
+            "landing at the measured bandwidth ratio beta shows no "
+            "residual serialization beyond the shared-DRAM term. "
+            "t_* = per-level MINIMUM over all published same-fingerprint "
+            "samples (BENCH/scaling_samples.jsonl; n_samples in each "
+            "summary) — host weather on this VM swings 2-3x, so the "
+            "minimum across independent interleaved draws estimates the "
+            "unloaded time"
         ),
     }
     print(json.dumps(out["summary"]))
