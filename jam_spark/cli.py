@@ -6,6 +6,7 @@
     python -m jam_spark.cli pairs   --root CKPT            # ≅ jam dist
     python -m jam_spark.cli cluster --root CKPT
     python -m jam_spark.cli run     --input pages.parquet --root CKPT
+    python -m jam_spark.cli ingest  --landing DIR --root CKPT
     python -m jam_spark.cli stats   --root CKPT            # ≅ jam stats
 
 On a cluster: ``spark-submit --py-files jam_spark_pkg.zip -m ...`` with
@@ -76,6 +77,21 @@ def main(argv: list[str] | None = None) -> int:
         if name != "stats":
             _add_params(sp)
 
+    sp = sub.add_parser(
+        "ingest",
+        help="drain a landing zone of page files into the incremental "
+        "dedup state (Structured Streaming file source; each invocation "
+        "processes exactly the files that landed since the last one)",
+    )
+    sp.add_argument("--cores", type=int, default=None)
+    sp.add_argument("--root", required=True, help="checkpoint root dir")
+    sp.add_argument("--landing", required=True,
+                    help="directory new page parquet files land in")
+    sp.add_argument("--max-files-per-trigger", type=int, default=None,
+                    help="bound each micro-batch (O(delta) incremental "
+                    "pass per batch)")
+    _add_params(sp)
+
     args = ap.parse_args(argv)
     spark = get_spark(app=f"jam_spark_{args.cmd}", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
@@ -103,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "run":
             cl = ck.run(pages)
             print(json.dumps({"stage": "clusters", "rows": cl.count()}))
+        elif args.cmd == "ingest":
+            from .streaming import drain_landing_zone
+
+            ck = drain_landing_zone(
+                spark, args.landing, args.root, _params(args),
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            print(json.dumps(
+                {"stage": "ingest", **{
+                    k: v for k, v in ck.stats().items()
+                    if k in ("n_pages", "n_sketches")
+                }}
+            ))
         return 0
     finally:
         spark.stop()

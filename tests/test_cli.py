@@ -52,3 +52,31 @@ def test_cli_sketch_pairs_cluster_stats(tmp_path):
         "--algorithm", "xxh64", "--cores", "4",
     )
     assert out["stage"] == "clusters" and out["rows"] == len(pdf)
+
+
+def test_cli_ingest_drains_landing_zone(tmp_path):
+    from jam_spark.corpus import generate_pages, pages_to_pandas
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pages_to_pandas(generate_pages(n_docs=60, seed=3))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "ck_ingest")
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[:40][["url", "text"]]),
+        str(landing / "day0.parquet"),
+    )
+    out = _run("ingest", "--landing", str(landing), "--root", root,
+               "--cores", "4")
+    assert out["stage"] == "ingest" and out["n_pages"] == 40
+
+    # a second file lands; re-invoking processes exactly the delta
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[40:][["url", "text"]]),
+        str(landing / "day1.parquet"),
+    )
+    out = _run("ingest", "--landing", str(landing), "--root", root,
+               "--cores", "4")
+    assert out["n_pages"] == len(pdf)
