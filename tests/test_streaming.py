@@ -79,3 +79,42 @@ def test_stream_trigger_args_are_exclusive(spark, tmp_path):
             available_now=True,
             processing_time="10 seconds",
         )
+
+
+def test_stream_bounded_batches_converge(spark, tmp_path):
+    """maxFilesPerTrigger=1 over 3 landed files = 3 micro-batches in one
+    drain: one full write + two O(delta) appends, final clusters equal
+    the from-scratch batch run."""
+    params = SketchParams()
+    pdf = pages_to_pandas(generate_pages(n_docs=120, seed=7))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "state")
+    cuts = [0, 100, 200, len(pdf)]
+    for i in range(3):
+        _land(pdf.iloc[cuts[i]:cuts[i + 1]], str(landing / f"f{i}.parquet"))
+
+    q = stream_dedup_from_files(
+        spark, str(landing), root, params, max_files_per_trigger=1
+    )
+    q.awaitTermination()
+
+    band_metrics = [
+        json.loads(l)
+        for l in open(os.path.join(root, "metrics", "bands.jsonl"))
+    ]
+    assert [bool(m.get("append")) for m in band_metrics] == [
+        False, True, True,
+    ]
+
+    from jam_spark.checkpoint import CheckpointedDedup
+
+    got = _clusters_dict(
+        CheckpointedDedup(spark, root, params).run(
+            spark.createDataFrame(pdf[["url", "text"]])
+        )
+    )
+    want = _clusters_dict(
+        dedup_pipeline(spark.createDataFrame(pdf[["url", "text"]]), params)
+    )
+    assert got == want
