@@ -115,13 +115,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_fast": q(lambda s, d: similarity.cosine_topk_fast(_embs(s, d))),
         # scale twin of cosine_dup_pairs: capped LSH candidates, identical
         # exact-fold re-score (approximate membership ⇒ rows-only here;
-        # recall floors + score-parity in pytest)
+        # recall floors + score-parity in pytest). n_tables=48: at this
+        # LOW threshold (0.35 — chosen so the synthetic embeddings yield
+        # nontrivial pairs) per-table collision probability drops, so the
+        # table count must rise to hold recall; 48 tables reaches 271/271
+        # parity with cosine_dup_pairs at sf0.01 (24 tables: 257/271).
         "ann_dup_pairs": q(
-            lambda s, d: similarity.ann_dup_pairs(_embs(s, d), threshold=0.35)
+            lambda s, d: similarity.ann_dup_pairs(
+                _embs(s, d), threshold=0.35, n_tables=48
+            )
         ),
         # semantic-dedup clusters over the capped pair edges (CC closure)
         "ann_dup_clusters": q(
-            lambda s, d: similarity.ann_dup_clusters(_embs(s, d), threshold=0.35)
+            lambda s, d: similarity.ann_dup_clusters(
+                _embs(s, d), threshold=0.35, n_tables=48
+            )
         ),
         "ann_lsh_topk": q(lambda s, d: similarity.ann_lsh_topk(_embs(s, d))),
         "ann_ivf_topk": q(lambda s, d: similarity.ann_ivf_topk(_embs(s, d))),

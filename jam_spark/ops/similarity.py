@@ -806,6 +806,13 @@ def ann_dup_pairs(
     at threshold 0.9); output volume is bounded by the candidate caps
     even on mass-point corpora, where the exact twin's output is
     irreducibly m².
+
+    Recall vs ``threshold``: random-hyperplane collision probability is
+    ``1 - arccos(cos)/pi`` per bit, so LOW thresholds need more tables
+    to hold recall — at 0.35 on the sf0.01 synthetic embeddings 24
+    tables reach 257/271 of the exact twin's pairs and 48 reach
+    271/271; the 0.9-threshold regime (real semantic dedup) holds
+    ≥0.99 at the default 24.
     """
     if method == "lsh":
         cand = _lsh_candidate_pairs(
@@ -900,6 +907,7 @@ def ann_rescored_sql() -> str:
 
 def ann_dup_clusters(
     embeddings: DataFrame, threshold: float = 0.9, method: str = "lsh",
+    **candidate_kwargs,
 ) -> DataFrame:
     """(vec_id, cluster_id) — semantic-dedup clusters: connected
     components over the :func:`ann_dup_pairs` edge set, labels = min
@@ -913,7 +921,9 @@ def ann_dup_clusters(
     """
     from ..cluster import connected_components
 
-    pairs = ann_dup_pairs(embeddings, threshold=threshold, method=method)
+    pairs = ann_dup_pairs(
+        embeddings, threshold=threshold, method=method, **candidate_kwargs
+    )
     nodes = embeddings.select("vec_id")
     out = connected_components(
         pairs, nodes, id_a="vec_id", id_b="neighbor_id"
