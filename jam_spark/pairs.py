@@ -108,6 +108,75 @@ def _bkey_col():
     )
 
 
+def packed_bands(
+    sketches: DataFrame, params: SketchParams, id_col: str = "url"
+) -> DataFrame:
+    """(bkey, id) postings hash-partitioned on the packed band key —
+    ONE exchange that every downstream consumer reuses.
+
+    The flagship's pairs stage has three passes over the postings: the
+    hot-size aggregate, the (optional) thinning join, and the candidate
+    self-join. Keyed on arbitrary scan partitions those cost one
+    exchange EACH — and band keys are mostly unique, so the aggregate's
+    map-side combine doesn't shrink its shuffle (measured at 1M docs /
+    57.6M postings / 16 cores: 20s for the hot probe + 32s for the
+    self-join). Repartitioning by ``bkey`` up front and persisting the
+    POST-shuffle table makes the cached ``hashpartitioning(bkey)``
+    visible to Catalyst, so the aggregate and both self-join sides
+    satisfy their required distribution from the cache — zero further
+    exchanges over the 57M-row table (plan-asserted in
+    ``test_packed_bands_single_exchange``). Rows are also narrower:
+    (bkey, nid) = 16B vs (band_id, band_hash, nid) = 24B.
+
+    The 58-bit band_hash truncation inside ``bkey`` can merge two
+    distinct bands' postings (n²/2^59 keys ≈ 6 collisions at 57M): in
+    the self-join a merged key only ADDS candidates (rejected by exact
+    verify), and in the hot-size aggregate it can only OVERCOUNT a
+    band — thinning slightly early, never missing a hot band.
+    """
+    b = bands_table(sketches, params, id_col=id_col)
+    return b.select(_bkey_col().alias("bkey"), F.col(id_col)).repartition(
+        "bkey"
+    )
+
+
+def thin_hot_bkeys(
+    bands: DataFrame, params: SketchParams, id_col: str = "url"
+) -> DataFrame:
+    """:func:`thin_hot_bands` for the packed-key postings of
+    :func:`packed_bands` — identical rotation-residue scheme, with
+    band_id recovered from bkey's high 6 bits. Both the sizes aggregate
+    and the broadcast thinning join preserve the input's bkey
+    partitioning, so the downstream self-join stays exchange-free."""
+    if not params.band_cap:
+        return bands
+    from ._persist import track
+
+    sizes = bands.groupBy("bkey").count()
+    hot = track(
+        sizes.filter(F.col("count") > params.band_cap)
+        .withColumn(
+            "thin_mod",
+            F.ceil(F.col("count") / F.lit(params.band_cap)).cast("long"),
+        )
+        .select("bkey", "thin_mod")
+    )
+    # same adaptive short-circuit as thin_hot_bands: no hot band ⇒ the
+    # guard costs one exchange-free aggregate and skips the join wrapper.
+    # This probe is also what materializes the (lazily persisted) packed
+    # postings cache for the candidate join.
+    if hot.limit(1).count() == 0:
+        return bands
+    joined = bands.join(F.broadcast(hot), "bkey", "left")
+    band_id = F.shiftrightunsigned(F.col("bkey"), 58)
+    res = F.pmod(F.xxhash64(F.col(id_col)), F.col("thin_mod"))
+    return joined.filter(
+        F.col("thin_mod").isNull()
+        | (res == F.pmod(band_id, F.col("thin_mod")))
+        | (res == F.pmod(band_id + 1, F.col("thin_mod")))
+    ).drop("thin_mod")
+
+
 def candidate_pairs(bands: DataFrame, id_col: str = "url") -> DataFrame:
     """Self-join on the band key; canonical orientation id_a < id_b
     (≅ the reference's larger/smaller ordering, ``src/compare.rs:146-163``,
@@ -118,9 +187,16 @@ def candidate_pairs(bands: DataFrame, id_col: str = "url") -> DataFrame:
     both sides) beats a groupBy-collect_set + in-array pair expansion
     (35-94s) — the array route pays a per-element ``slice`` copy, i.e.
     O(m²) memory traffic per bucket, plus the collect agg. Keep the join.
-    The join key is the packed 8-byte ``bkey`` (see PACK_BAND_KEY).
+    The join key is the packed 8-byte ``bkey`` (see PACK_BAND_KEY); a
+    :func:`packed_bands` input (already keyed AND hash-partitioned on
+    bkey) joins straight off its cached partitioning with no exchange.
     """
-    if PACK_BAND_KEY:
+    if "bkey" in bands.columns:
+        keyed = bands.select("bkey", F.col(id_col))
+        a = keyed.select("bkey", F.col(id_col).alias("id_a"))
+        b = keyed.select("bkey", F.col(id_col).alias("id_b"))
+        join_key = ["bkey"]
+    elif PACK_BAND_KEY:
         keyed = bands.select(_bkey_col().alias("bkey"), F.col(id_col))
         a = keyed.select("bkey", F.col(id_col).alias("id_a"))
         b = keyed.select("bkey", F.col(id_col).alias("id_b"))

@@ -152,3 +152,47 @@ def test_pairs_stage_plan_has_no_rowwise_python(spark, pages_df):
     p = pairs_stage(sketches.persist(), params)
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("band_cap", [256, 8])
+def test_packed_bands_candidates_match_unpacked(spark, pages_df, band_cap):
+    """The single-exchange packed-postings plan (packed_bands +
+    thin_hot_bkeys + bkey self-join) must produce the IDENTICAL
+    candidate set as the unpacked (band_id, band_hash) plan at both a
+    no-hot cap (256) and an aggressively-hot cap (8) — the rotation
+    residues are the same function of (band_id, xxhash64(id), mod), so
+    packing changes plan shape, never membership (modulo 58-bit key
+    collisions, absent at test scale)."""
+    from jam_spark._persist import release_all, track
+    from jam_spark.pairs import (
+        bands_table,
+        candidate_pairs,
+        packed_bands,
+        thin_hot_bands,
+        thin_hot_bkeys,
+        with_nid,
+    )
+
+    params = SketchParams(band_cap=band_cap)
+    sketches, _ = sketch_stage(pages_df, params)
+    sk = with_nid(track(sketches, eager=True))
+
+    new_bands = thin_hot_bkeys(
+        track(packed_bands(sk, params, id_col="nid")), params, id_col="nid"
+    )
+    new = {
+        tuple(r)
+        for r in candidate_pairs(new_bands, id_col="nid").collect()
+    }
+    old_bands = thin_hot_bands(
+        track(bands_table(sk, params, id_col="nid"), eager=True),
+        params,
+        id_col="nid",
+    )
+    old = {
+        tuple(r)
+        for r in candidate_pairs(old_bands, id_col="nid").collect()
+    }
+    release_all()
+    assert new == old
+    assert len(new) > 0
