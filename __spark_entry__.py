@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_rescored": q(
             lambda s, d: similarity.ann_rescored(_embs(s, d), method="ivf")
         ),
+        "ann_lsh_rescored": q(
+            lambda s, d: similarity.ann_rescored(_embs(s, d), method="lsh")
+        ),
     }
 
 
@@ -170,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         # certifies ANN scoring (exact fold per returned pair) against a
         # constant-truth oracle; see similarity.ann_rescored
         "ann_ivf_rescored": similarity.ann_rescored_sql(),
+        "ann_lsh_rescored": similarity.ann_rescored_sql(),
         # minhash_*, ann_dup_pairs, ann_lsh_topk, ann_ivf_topk
         # intentionally omitted: xxh3/LSH/k-means not expressible in ANSI
         # SQL; covered by the pytest oracle / recall-floor / score-parity
