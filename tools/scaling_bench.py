@@ -326,10 +326,25 @@ def main() -> None:
     ap.add_argument("--child", type=int, default=None)
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--cpuset", default=None)
+    ap.add_argument(
+        "--single", default=None, metavar="CORES[,CORES...]",
+        help="bank one draw per listed core count at --pages docs into "
+        "the published sample pool (BENCH/scaling_samples.jsonl) without "
+        "recomputing any summary — the gap-filler for redrawing a ladder "
+        "after a fingerprint change. Draws run sequentially, each "
+        "pinned to cores 0..N-1.",
+    )
     args = ap.parse_args()
 
     if args.child is not None:
         child(args.child, args.corpus, args.cpuset)
+        return
+
+    if args.single:
+        corpus = ensure_corpus(args.pages)
+        for cores in [int(x) for x in args.single.split(",") if x]:
+            r = _run_child(cores, corpus)
+            _record_sample(r, "single")
         return
 
     if args.weak:
