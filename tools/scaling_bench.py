@@ -231,6 +231,68 @@ def _measure_level_pair(
     }
 
 
+def _iso_spinners(cores: list[int]) -> list:
+    """Pure-CPU busy loops pinned one-per-core. They touch no DRAM and
+    run no syscalls — their only effect is keeping those cores ACTIVE so
+    the chip's frequency/power state matches a run where the measured
+    job itself occupies them. Used by --iso to hold the number of active
+    cores CONSTANT across the two levels of a pair: on this box an
+    otherwise-idle machine boosts a 1-core run (single-active-core
+    turbo / no steal) in a way no packed cluster node reproduces, which
+    deflates the measured N->4N efficiency."""
+    procs = []
+    for c in cores:
+        p = subprocess.Popen(
+            [sys.executable, "-c", "while True:\n pass"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        os.sched_setaffinity(p.pid, {c})
+        procs.append(p)
+    return procs
+
+
+def _measure_iso_pair(n: int, corpus: str, docs: int) -> dict:
+    """ISO-ACTIVE-CORES strong pair: the N-core level runs with 4N-N
+    spinners occupying the complement cores, so BOTH levels execute
+    with exactly 4N cores active — same frequency/steal state, and the
+    spinners consume no memory bandwidth. Back-to-back (same weather),
+    not pooled: iso draws measure a different machine condition than
+    the idle-box ladder (the N-level sample is recorded mode="iso" for
+    audit; being slower than idle-box draws it can never distort the
+    pooled minima)."""
+    spinners = _iso_spinners(list(range(n, 4 * n)))
+    try:
+        r_n = _run_child(n, corpus)
+    finally:
+        for p in spinners:
+            p.kill()
+    _record_sample(r_n, "iso")
+    r_4n = _run_child(4 * n, corpus)
+    _record_sample(r_4n, "single")
+    eff = (r_n["wall_sec"] / r_4n["wall_sec"]) / 4
+    return {
+        "runs": [r_n, r_4n],
+        "summary": {
+            "mode": "iso_active_cores",
+            "n_cores": n,
+            "active_cores_both_levels": 4 * n,
+            "t_n_sec": r_n["wall_sec"],
+            "t_4n_sec": r_4n["wall_sec"],
+            "docs": docs,
+            "scaling_efficiency_iso": round(eff, 3),
+            "note": (
+                "both levels ran with exactly 4N cores active (busy "
+                "spinners, zero DRAM traffic, on the complement cores "
+                "during the N-core run) — controls the chip "
+                "frequency/steal asymmetry an idle box gives small "
+                "levels; the remaining gap between levels is the job's "
+                "parallel efficiency plus real shared-DRAM contention "
+                "from the job's own 4x streams"
+            ),
+        },
+    }
+
+
 def _run_child(cores: int, corpus: str) -> dict:
     proc = subprocess.run(
         [
@@ -327,6 +389,14 @@ def main() -> None:
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--cpuset", default=None)
     ap.add_argument(
+        "--iso", action="store_true",
+        help="iso-active-cores strong pair: run the N level (first of "
+        "--n) with 4N-N pure-CPU spinners on the complement cores so "
+        "both levels see 4N active cores (same chip frequency/steal "
+        "state; spinners use no DRAM), then the 4N level bare, back to "
+        "back. Writes BENCH/iso_scaling.json.",
+    )
+    ap.add_argument(
         "--single", default=None, metavar="CORES[,CORES...]",
         help="bank one draw per listed core count at --pages docs into "
         "the published sample pool (BENCH/scaling_samples.jsonl) without "
@@ -345,6 +415,16 @@ def main() -> None:
         for cores in [int(x) for x in args.single.split(",") if x]:
             r = _run_child(cores, corpus)
             _record_sample(r, "single")
+        return
+
+    if args.iso:
+        n = [int(x) for x in str(args.n).split(",") if x][0]
+        corpus = ensure_corpus(args.pages)
+        out = _measure_iso_pair(n, corpus, args.pages)
+        print(json.dumps(out["summary"]))
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "iso_scaling.json"), "w") as f:
+            json.dump(out, f, indent=2)
         return
 
     if args.weak:
