@@ -389,6 +389,11 @@ def main() -> None:
     ap.add_argument("--corpus", default=None)
     ap.add_argument("--cpuset", default=None)
     ap.add_argument(
+        "--out", default="scaling.json",
+        help="output filename under BENCH/ for the strong-mode summary "
+        "(e.g. scaling_1m.json to keep per-corpus ladders side by side)",
+    )
+    ap.add_argument(
         "--iso", action="store_true",
         help="iso-active-cores strong pair: run the N level (first of "
         "--n) with 4N-N pure-CPU spinners on the complement cores so "
@@ -478,7 +483,7 @@ def main() -> None:
     }
     print(json.dumps(out["summary"]))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", os.path.basename(args.out)), "w") as f:
         json.dump(out, f, indent=2)
 
 
