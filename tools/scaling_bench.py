@@ -465,15 +465,17 @@ def main() -> None:
             "only through 4 active cores, so 1->4 is the one pair the "
             "box's shared memory subsystem does not penalize; larger "
             "pairs progressively measure that shared ceiling, which "
-            "separately provisioned clusters do not share. CAVEAT read "
-            "with BENCH/BASELINE.md: the 1-core level overpays in the "
-            "other direction (JVM scan/shuffle and the Arrow Python "
-            "sketch worker serialize on one core; ParallelGC runs "
-            "single-threaded), so 1->4 can read superlinear — the "
-            "single-box pairs BRACKET the job's true efficiency from "
-            "above (1->4) and below (2->8, 4->16); the weak-scaling run "
-            "landing at the measured bandwidth ratio beta shows no "
-            "residual serialization beyond the shared-DRAM term. "
+            "separately provisioned clusters do not share. Read with "
+            "BENCH/BASELINE.md's gate-ensemble section: the 2M corpus "
+            "is the gate corpus (the measured 8-24s driver floor is "
+            "5.2% of the 4-core wall at 1M vs 3.4% at 2M and vanishes "
+            "at the rule's 10^12-doc scale); the 1M ladder is the "
+            "published diagnostic. Companion controls: weak pair "
+            "(BENCH/weak_scaling.json), iso-active-cores "
+            "(BENCH/iso_scaling.json, turbo hypothesis refuted), "
+            "process-level executor emulation "
+            "(BENCH/executor_emulation.json, socket-sharing cost "
+            "<=9-14% for the map stage). "
             "t_* = per-level MINIMUM over all published same-fingerprint "
             "samples (BENCH/scaling_samples.jsonl; n_samples in each "
             "summary) — host weather on this VM swings 2-3x, so the "
