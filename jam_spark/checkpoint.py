@@ -125,6 +125,20 @@ class _ParquetStore:
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.parquet(self.path(stage))
 
+    def replace(self, df: DataFrame, stage: str, props: dict) -> DataFrame:
+        """Rewrite a stage table from a plan that READS the same table
+        (schema migrations). A direct overwrite would delete the input
+        files out from under the scan; stage through a sibling tmp dir
+        and swap."""
+        import shutil
+
+        tmp = self.path(stage) + ".__tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.path(stage), ignore_errors=True)
+        os.replace(tmp, self.path(stage))
+        return self.read(stage)
+
     def invalidate(self, stage: str) -> None:
         import shutil
 
@@ -162,6 +176,11 @@ class _IcebergStore:
 
     def read(self, stage: str) -> DataFrame:
         return self.spark.read.table(self.tbl(stage))
+
+    def replace(self, df: DataFrame, stage: str, props: dict) -> DataFrame:
+        # Iceberg's createOrReplace is snapshot-isolated: the plan reads
+        # the pre-replace snapshot, so self-referential rewrites are safe
+        return self.write(df, stage, props)
 
     def invalidate(self, stage: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.tbl(stage)}")
@@ -453,6 +472,21 @@ class CheckpointedDedup:
         sk = with_nid(sketches)
         if self._done("pairs"):
             pairs = self._read("pairs")
+            if "batch" not in pairs.columns:
+                # legacy pairs table from before batch stamping: backfill
+                # batch=0 once (via a tmp-dir swap — the plan reads the
+                # table being rewritten) so the epoch probe below, the
+                # appended delta, and run_clusters' epoch filter all see
+                # ONE schema. Without this the first incremental append
+                # on an old checkpoint raised AnalysisException at the
+                # max("batch") probe, and a plain parquet append of
+                # batch-stamped files would hide the new column behind
+                # the legacy schema on read.
+                pairs = self.store.replace(
+                    pairs.withColumn("batch", F.lit(0).cast("long")),
+                    "pairs",
+                    {"jam.params": self.params.to_json()},
+                )
             known = (
                 self._read("pair_nids")
                 if self._done("pair_nids")
@@ -562,6 +596,22 @@ class CheckpointedDedup:
         clusters = membership.join(
             rep_clusters.withColumnRenamed("url", "rep_url"), "rep_url"
         ).select("url", "cluster_id")
+        # canonicalize: cluster_id = min MEMBER url per component. From
+        # scratch this is a no-op (rep = min of its exact group and the
+        # CC label = min rep), but the incremental sketch path keeps the
+        # OLD rep when an appended page's text_fp is already known — so a
+        # later-ingested url smaller than its rep would otherwise make
+        # the label ingest-order-dependent and diverge from a
+        # from-scratch run (round-4 advice). Membership sets were always
+        # identical; this pins the LABEL to the partition, not the
+        # ingest order. Cost: one groupBy + join over the narrow
+        # (url, cluster_id) output, O(pages) rows.
+        label = clusters.groupBy("cluster_id").agg(
+            F.min("url").alias("_label")
+        )
+        clusters = clusters.join(label, "cluster_id").select(
+            "url", F.col("_label").alias("cluster_id")
+        )
         return self._write(clusters, "clusters")
 
     # ------------------------------------------------------------ runs

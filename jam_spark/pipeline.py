@@ -80,6 +80,13 @@ def sketch_stage(
     from .scan import ensure_scan_parallelism
 
     pages = ensure_scan_parallelism(pages)
+    # NULL text never equals NULL text in a JOIN (unlike groupBy, which
+    # buckets nulls together) — without the sentinel, null-text pages
+    # group into a sketch row but vanish from membership's fp join, so
+    # they'd be missing from clusters AND re-sketched on every
+    # incremental ingest batch (the streaming schema permits null text).
+    # '<null>' can't collide with a real fingerprint: md5 hex is 32 chars.
+    text_fp = F.coalesce(F.md5(F.col("text")), F.lit("<null>"))
     if dedup_exact_first:
         # sketch branch: fingerprint + sketch computed side by side in one
         # map-only pass over the scan. identical text ⇒ identical sketch,
@@ -88,7 +95,7 @@ def sketch_stage(
         # per map partition before the shuffle).
         enriched = pages.select(
             "url",
-            F.md5(F.col("text")).alias("text_fp"),
+            text_fp.alias("text_fp"),
             sketch_col.alias("sketch"),
         )
         sketches = (
@@ -105,7 +112,7 @@ def sketch_stage(
         # scan+sketch+groupBy — the fps side is a narrow (url, md5)
         # projection Catalyst prunes the sketch out of. The heavy text
         # column is never shuffled (scans are cheap; shuffles are not).
-        fps = pages.select("url", F.md5(F.col("text")).alias("text_fp"))
+        fps = pages.select("url", text_fp.alias("text_fp"))
         membership = (
             fps.join(
                 sketches.select("text_fp", F.col("url").alias("rep_url")),

@@ -27,9 +27,28 @@ shuffle and guarantees the map stage spreads.
 from __future__ import annotations
 
 import os
+import re
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame
+
+_SUFFIX = {"": 0, "k": 1, "m": 2, "g": 3, "t": 4, "p": 5}
+
+
+def _parse_byte_string(value: str, default: int) -> int:
+    """Parse Spark byte-string conf values: plain numbers are BYTES,
+    ``k/m/g/t/p`` suffixes (optionally followed by ``b``) are binary
+    multiples — the same grammar as the JVM's
+    ``JavaUtils.byteStringAsBytes`` (which isn't reachable from a plain
+    conf string here without a session round-trip). The previous
+    ``int(value.rstrip("b"))`` choked on human-readable settings like
+    ``"128m"``/``"1g"`` and silently fell back to 128MB, overstating the
+    split count 8x under a real 1g setting — so the parallelism guard
+    could SKIP a repartition the sketch stage actually needed."""
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", value.lower())
+    if not m:
+        return default
+    return int(m.group(1)) * 1024 ** _SUFFIX[m.group(2)]
 
 
 def _estimate_scan_splits(df: DataFrame) -> int | None:
@@ -42,14 +61,12 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
         return None
     if not files:
         return 0  # in-memory relation
-    try:
-        max_bytes = int(
-            df.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            ).rstrip("b")
-        )
-    except ValueError:
-        max_bytes = 128 * 1024 * 1024
+    max_bytes = _parse_byte_string(
+        df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        ),
+        default=128 * 1024 * 1024,
+    )
     total = 0
     for f in files:
         parsed = urlparse(f)

@@ -289,3 +289,110 @@ def test_incremental_append_twice_converges(spark, tmp_path):
     got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
     want = _clusters_dict(dedup_pipeline(pages_all, params))
     assert got == want
+
+
+def test_incremental_rep_smaller_url_appended_later(spark, tmp_path):
+    """Round-4 advice (medium): the incremental sketch path keeps the OLD
+    rep when an appended page's text_fp is already known — if the new
+    page's url sorts BEFORE the existing rep, the canonical cluster label
+    must still equal the from-scratch run's (min member url), not drift
+    with ingest order. Exercises both group shapes: an exact-dup group
+    with no similarity pairs (sub-k text) and one inside a near-dup
+    component."""
+    import pandas as pd
+
+    params = SketchParams()
+    long_a = "the quick brown fox jumps over the lazy dog again and again today"
+    long_b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    batch1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["z9", "z8", "y7"],
+                "text": [long_a, long_b, "tiny text here"],
+            }
+        )
+    )
+    # appended urls sort BEFORE their groups' existing reps
+    batch2_extra = spark.createDataFrame(
+        pd.DataFrame({"url": ["a0", "b0"], "text": [long_a, "tiny text here"]})
+    )
+    pages_all = batch1.unionByName(batch2_extra)
+    root = str(tmp_path / "ck11")
+    CheckpointedDedup(spark, root, params).run(batch1)
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert want["z9"] == "a0" and want["y7"] == "b0"  # labels moved
+    assert got == want
+
+
+def test_legacy_pairs_table_without_batch_column(spark, tmp_path):
+    """Round-4 advice (low): a checkpoint root produced before batch
+    stamping has a pairs table with no ``batch`` column; the first
+    incremental append must migrate it (backfill batch=0) instead of
+    raising AnalysisException at the epoch probe."""
+    import shutil
+
+    params = SketchParams()
+    pages_all = spark.createDataFrame(
+        pages_to_pandas(generate_pages(n_docs=200, seed=11))
+    ).cache()
+    first = pages_all.limit(150)
+    root = str(tmp_path / "ck12")
+    CheckpointedDedup(spark, root, params).run(first)
+
+    # simulate the legacy layout: strip the batch column in place
+    pairs_path = os.path.join(root, "pairs")
+    legacy = spark.read.parquet(pairs_path).drop("batch")
+    tmp = pairs_path + ".__legacy__"
+    legacy.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(pairs_path)
+    os.replace(tmp, pairs_path)
+    assert "batch" not in spark.read.parquet(pairs_path).columns
+
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert got == want
+    migrated = spark.read.parquet(pairs_path)
+    assert "batch" in migrated.columns
+    batches = {r["batch"] for r in migrated.select("batch").distinct().collect()}
+    assert batches <= {0, 1} and 0 in batches
+
+
+def test_null_text_pages_kept_and_not_resketched(spark, tmp_path):
+    """Round-4 advice (low): NULL never equals NULL in a join — null-text
+    pages (permitted by the streaming schema) must still appear in
+    membership/clusters, collapse into ONE exact group, and must NOT be
+    re-sketched on every incremental batch."""
+    import pandas as pd
+
+    params = SketchParams()
+    batch1 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["n2", "n1", "t1"],
+                "text": [None, None, "the quick brown fox jumps over the lazy dog"],
+            }
+        )
+    )
+    batch2_extra = spark.createDataFrame(
+        pd.DataFrame({"url": ["n3"], "text": [None]})
+    )
+    pages_all = batch1.unionByName(batch2_extra)
+    root = str(tmp_path / "ck13")
+    CheckpointedDedup(spark, root, params).run(batch1)
+    sk1 = spark.read.parquet(os.path.join(root, "sketches")).count()
+
+    ck = CheckpointedDedup(spark, root, params)
+    got = _clusters_dict(ck.run(pages_all))
+    assert set(got) == {"n1", "n2", "n3", "t1"}  # nobody dropped
+    assert got["n1"] == got["n2"] == got["n3"] == "n1"  # one exact group
+    # the null group was already sketched in batch1 — no new sketch row
+    assert spark.read.parquet(os.path.join(root, "sketches")).count() == sk1
+
+    # idempotent re-run: the null-text pages are recognized as known
+    sk_again, mem_again = CheckpointedDedup(spark, root, params).run_sketches(
+        pages_all
+    )
+    assert sk_again.count() == sk1
+    assert mem_again.count() == 4
+    assert got == _clusters_dict(dedup_pipeline(pages_all, params))

@@ -63,3 +63,23 @@ def test_no_rdd_probe_in_operator_sources():
                 if isinstance(node, ast.Attribute) and node.attr == "rdd":
                     offenders.append(f"{path}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_parse_byte_string_suffixes():
+    """Round-4 advice (low): spark.sql.files.maxPartitionBytes accepts
+    human-readable byte strings ("128m", "1g"); the split estimator must
+    parse them instead of silently falling back to 128MB (which
+    overstates split count 8x under a real 1g setting and can skip a
+    needed repartition)."""
+    from jam_spark.scan import _parse_byte_string
+
+    assert _parse_byte_string("134217728", -1) == 134217728
+    assert _parse_byte_string("134217728b", -1) == 134217728
+    assert _parse_byte_string("128m", -1) == 128 * 1024 * 1024
+    assert _parse_byte_string("128mb", -1) == 128 * 1024 * 1024
+    assert _parse_byte_string("1g", -1) == 1024**3
+    assert _parse_byte_string(" 2G ", -1) == 2 * 1024**3
+    assert _parse_byte_string("64k", -1) == 64 * 1024
+    assert _parse_byte_string("1t", -1) == 1024**4
+    assert _parse_byte_string("garbage", 77) == 77
+    assert _parse_byte_string("12.5m", 77) == 77  # fractions: JVM rejects too
