@@ -36,8 +36,12 @@ Resume contract:
   * clusters: connected components re-closes over the PREVIOUS labels
     (star edges from the snapshot ``clusters_base``) plus the delta
     pair edges — O(delta + clusters), not O(all pairs). Labels equal a
-    from-scratch run because replacing a component's internal edges by
-    a star to its (min-id) label preserves connectivity and minima.
+    from-scratch run because (a) replacing a component's internal edges
+    by a star to its label preserves connectivity, and (b) the final
+    label is canonicalized to the min MEMBER url per component in
+    ``run_clusters`` — necessary because the incremental sketch path
+    keeps the OLD rep for a known text_fp, so an appended url smaller
+    than its rep is a member but never a rep/CC node.
   Incremental thinning caveat: ``band_cap`` is applied to each batch's
   postings against its own counts, so a band that becomes hot only
   ACROSS batches is capped later than a from-scratch run would — recall
