@@ -69,6 +69,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- exact dedup (hash-groupBy / window) ---
         "exact_dedup_groups": q(lambda s, d: dedup.exact_dedup_groups(_docs(s, d))),
         "exact_dedup_members": q(lambda s, d: dedup.exact_dedup_members(_docs(s, d))),
+        # --- corpus dedup reporting + per-source rollups ---
+        "dedup_report": q(lambda s, d: dedup.dedup_report(_docs(s, d))),
+        "dedup_size_histogram": q(
+            lambda s, d: dedup.dedup_size_histogram(_docs(s, d))
+        ),
+        "source_stats": q(lambda s, d: dedup.source_stats(_docs(s, d))),
+        # --- URL canonicalization dedup (synthetic url column — the
+        #     testdata documents table has none; the SQL twin builds the
+        #     identical strings, so the canonicalizer is value-checked) ---
+        "url_dedup_groups": q(
+            lambda s, d: dedup.url_dedup_groups(
+                dedup.documents_with_urls(_docs(s, d))
+            )
+        ),
         # --- text analysis ---
         "token_counts": q(lambda s, d: text.token_counts(_docs(s, d))),
         "token_counts_bpe": q(lambda s, d: text.token_counts_bpe(_docs(s, d))),
@@ -152,6 +166,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": dedup.exact_dedup_groups_sql(),
         "exact_dedup_members": dedup.exact_dedup_members_sql(),
+        "dedup_report": dedup.dedup_report_sql(),
+        "dedup_size_histogram": dedup.dedup_size_histogram_sql(),
+        "source_stats": dedup.source_stats_sql(),
+        "url_dedup_groups": dedup.url_dedup_groups_sql(),
         "token_counts": text.token_counts_sql(),
         "token_counts_bpe": text.token_counts_bpe_sql(),
         "doc_quality": text.doc_quality_sql(),

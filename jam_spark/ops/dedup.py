@@ -697,3 +697,271 @@ def minhash_clusters(documents: DataFrame, params: SketchParams | None = None) -
         F.col("url").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus-level dedup reporting (pipeline monitoring at scale)
+# --------------------------------------------------------------------------
+
+
+def dedup_report(documents: DataFrame) -> DataFrame:
+    """Single-row corpus dedup report: how much of the corpus is
+    exact-duplicate mass, before any near-dup pass — the first number a
+    100 TB ingest run publishes.
+
+    Shape: two chained hash aggregates (text_fp → group sizes → corpus
+    rollup), both map-side combinable; no window, no collect, so the
+    report costs one scan + two shuffles (the second over ≤ |groups|
+    narrow rows) at any corpus size. ``dup_ratio`` is ONE division of
+    exact integer aggregates (deterministic for the oracle value-hash;
+    no float summation)."""
+    key = F.coalesce(F.md5("text"), F.lit("<null>"))
+    sizes = documents.groupBy(key.alias("text_fp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_docs = F.sum("n")
+    n_groups = F.count(F.lit(1))
+    return sizes.agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_groups.cast("long").alias("n_groups"),
+        (n_docs - n_groups).cast("long").alias("n_dup_docs"),
+        ((n_docs - n_groups) / n_docs).cast("double").alias("dup_ratio"),
+        F.max("n").cast("long").alias("max_group_size"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_singleton_groups"),
+    )
+
+
+def dedup_report_sql() -> str:
+    return """
+        WITH sizes AS (
+            SELECT coalesce(md5(text), '<null>') AS text_fp,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1
+        )
+        SELECT sum(n)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_groups,
+               (sum(n) - count(*))::BIGINT AS n_dup_docs,
+               ((sum(n) - count(*))::DOUBLE / sum(n)::DOUBLE) AS dup_ratio,
+               max(n)::BIGINT AS max_group_size,
+               sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_singleton_groups
+        FROM sizes
+    """
+
+
+def dedup_size_histogram(documents: DataFrame) -> DataFrame:
+    """(group_size, n_groups) — the exact-duplicate group-size
+    distribution: the shape that decides whether mirror skew needs
+    special handling downstream (a 10⁸-mirror boilerplate page shows up
+    here as one row with a huge ``group_size`` long before it can
+    straggle a join). Two hash aggregates, both map-side combinable."""
+    key = F.coalesce(F.md5("text"), F.lit("<null>"))
+    return (
+        documents.groupBy(key.alias("text_fp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+    )
+
+
+def dedup_size_histogram_sql() -> str:
+    return """
+        WITH sizes AS (
+            SELECT coalesce(md5(text), '<null>') AS text_fp,
+                   count(*)::BIGINT AS group_size
+            FROM documents GROUP BY 1
+        )
+        SELECT group_size, count(*)::BIGINT AS n_groups
+        FROM sizes GROUP BY group_size
+    """
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Per-source (per-domain analogue) corpus rollup: doc counts,
+    exact-dup mass, text volume, language spread. One hash aggregate on
+    the source key; ``count(DISTINCT)`` is Spark's two-phase
+    partial-distinct expansion (no driver state). ``dup_ratio`` is one
+    exact-integer division."""
+    fp = F.coalesce(F.md5("text"), F.lit("<null>"))
+    n_docs = F.count(F.lit(1))
+    n_unique = F.countDistinct(fp)
+    return documents.groupBy("source").agg(
+        n_docs.cast("long").alias("n_docs"),
+        n_unique.cast("long").alias("n_unique_texts"),
+        (n_docs - n_unique).cast("long").alias("n_dup_docs"),
+        ((n_docs - n_unique) / n_docs).cast("double").alias("dup_ratio"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+
+
+def source_stats_sql() -> str:
+    return """
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT coalesce(md5(text), '<null>'))::BIGINT
+                   AS n_unique_texts,
+               (count(*) - count(DISTINCT coalesce(md5(text), '<null>')))::BIGINT
+                   AS n_dup_docs,
+               ((count(*) - count(DISTINCT coalesce(md5(text), '<null>')))::DOUBLE
+                   / count(*)::DOUBLE) AS dup_ratio,
+               sum(n_chars)::BIGINT AS n_chars_total,
+               count(DISTINCT lang)::BIGINT AS n_langs
+        FROM documents GROUP BY source
+    """
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (Common-Crawl pipeline staple)
+# --------------------------------------------------------------------------
+
+#: query params dropped by the canonicalizer (tracking/session noise).
+#: Anchored, letters/digits only — Java regex (Spark rlike) and RE2
+#: (DuckDB regexp_matches) evaluate it identically.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url(url):
+    """Frozen URL canonicalization spec (a dedup KEY, not a display
+    form), each rule expressible identically in Java regex and RE2:
+
+    1. lowercase the whole url (aggressive: paths too — dedup keys favor
+       recall; byte-exact originals stay in the row)
+    2. strip the ``#fragment``
+    3. strip a leading ``www.`` after the scheme
+    4. strip explicit default ports ``:80`` / ``:443``
+    5. drop tracking query params (:data:`TRACKING_PARAM_RE`), sort the
+       survivors byte-lexicographically, rejoin with ``&``
+    6. strip trailing ``/`` from the path
+
+    All JVM built-ins (regexp_replace / split / filter / array_sort) —
+    map-only, whole-stage codegen, no Python in the hot path."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"^(https?://)www\.", "$1")
+    u = F.regexp_replace(u, r":(80|443)(/|\?|$)", "$2")
+    qpos = F.locate("?", u)
+    base = F.regexp_replace(F.substring_index(u, "?", 1), "/+$", "")
+    query = F.when(qpos > 0, F.substr(u, qpos + F.lit(1))).otherwise(F.lit(""))
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        base,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(canonical_url, n_urls, min_url) — exact dedup on the canonical
+    URL key: the cheap pre-pass every web pipeline runs before content
+    hashing (same page fetched under utm-decorated / www / default-port
+    variants). Map-only canonicalization + one hash aggregate."""
+    return pages.groupBy(canonical_url(F.col(url_col)).alias("canonical_url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.min(url_col).alias("min_url"),
+    )
+
+
+def documents_with_urls(documents: DataFrame) -> DataFrame:
+    """Deterministic synthetic url per doc (the testdata documents table
+    carries no url column): doc_id residues vary case, ``www.``,
+    explicit default port, tracking params, query-param order, trailing
+    slash and fragments, so every canonicalizer rule is exercised;
+    ``doc_id % 229`` plants genuine collision groups. The SQL twin
+    (:func:`url_dedup_groups_sql`) builds the identical strings."""
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 4 == 0, F.lit("https://www."))
+        .when(d % 4 == 1, F.lit("HTTPS://"))
+        .when(d % 4 == 2, F.lit("https://"))
+        .otherwise(F.lit("https://WWW."))
+    )
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    tail = (
+        F.when(d % 3 == 0, F.lit("/?a=1&b=2"))
+        .when(d % 3 == 1, F.lit("/?b=2&utm_source=rss&a=1"))
+        .otherwise(F.lit("/"))
+    )
+    frag = F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme,
+        F.col("source"),
+        F.lit(".example.com"),
+        port,
+        F.lit("/Docs/"),
+        (d % 229).cast("string"),
+        tail,
+        frag,
+    )
+    return documents.select("doc_id", url.alias("url"))
+
+
+_SYNTH_URL_SQL = """
+    (CASE doc_id % 4 WHEN 0 THEN 'https://www.' WHEN 1 THEN 'HTTPS://'
+          WHEN 2 THEN 'https://' ELSE 'https://WWW.' END)
+    || source || '.example.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/Docs/' || (doc_id % 229)::VARCHAR
+    || (CASE doc_id % 3 WHEN 0 THEN '/?a=1&b=2'
+             WHEN 1 THEN '/?b=2&utm_source=rss&a=1' ELSE '/' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+def url_dedup_groups_sql(url_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`url_dedup_groups` over
+    :func:`documents_with_urls`-shaped input. ``url_expr`` defaults to
+    the synthetic url builder; pass a column name to run the
+    canonicalizer over a real url column (the parity test does)."""
+    url_expr = url_expr or _SYNTH_URL_SQL
+    return f"""
+        WITH pages AS (
+            SELECT doc_id, {url_expr} AS url FROM documents
+        ),
+        lowered AS (
+            SELECT url,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(url), '#.*$', ''),
+                           '^(https?://)www\\.', '\\1'),
+                       ':(80|443)(/|\\?|$)', '\\2') AS u
+            FROM pages
+        ),
+        split AS (
+            SELECT url,
+                   regexp_replace(
+                       CASE WHEN strpos(u, '?') > 0
+                            THEN substr(u, 1, strpos(u, '?') - 1)
+                            ELSE u END, '/+$', '') AS base,
+                   CASE WHEN strpos(u, '?') > 0
+                        THEN substr(u, strpos(u, '?') + 1)
+                        ELSE '' END AS q
+            FROM lowered
+        ),
+        canon AS (
+            SELECT url,
+                   base || CASE WHEN len(params) > 0
+                                THEN '?' || array_to_string(params, '&')
+                                ELSE '' END AS canonical_url
+            FROM (
+                SELECT url, base,
+                       list_sort(list_filter(string_split(q, '&'),
+                           p -> p <> '' AND NOT regexp_matches(p,
+                               '{TRACKING_PARAM_RE}')))
+                           AS params
+                FROM split
+            )
+        )
+        SELECT canonical_url,
+               count(*)::BIGINT AS n_urls,
+               min(url) AS min_url
+        FROM canon GROUP BY canonical_url
+    """

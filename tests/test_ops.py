@@ -613,3 +613,137 @@ def test_ann_dup_clusters_match_exact_closure(spark):
     assert got == want
     assert len(got) == len(vecs)  # every vector labeled
     assert any(got[i] != i for i in range(60, 80))  # near-dups merged
+
+
+def test_url_canonicalization_parity_adversarial(spark):
+    """Spark (Java regex + array fns) and DuckDB (RE2 + list fns) must
+    canonicalize identically on every rule's edge: case, www only after
+    the scheme, explicit default vs non-default ports, fragments,
+    tracking-param filtering (anchored — 'refx=1' survives), duplicate
+    keys, valueless params, empty query, repeated trailing slashes,
+    non-ASCII paths."""
+    import duckdb
+
+    from jam_spark.ops.dedup import url_dedup_groups, url_dedup_groups_sql
+
+    cases = [
+        "https://www.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag",
+        "http://example.com:80/",
+        "http://example.com:80",
+        "http://example.com",
+        "https://example.com/a//b///",
+        "https://example.com/?",
+        "https://example.com/x?gclid=1",
+        "https://example.com/x?a=1&a=0",
+        "https://sub.www.example.com/",
+        "https://example.com/x#a#b",
+        "https://example.com/x?ref=home&refx=1",
+        "HTTP://WWW.EXAMPLE.COM/INDEX.HTML",
+        "https://example.com:8080/x",
+        "https://example.com/x?A=1",
+        "https://example.com/x?b=&a",
+        "https://example.com/café/Ü?x=naïve",
+        "https://example.com/x?utm_campaign=1&utm_medium=2&keep=3",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, u) for i, u in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r["canonical_url"]: (r["n_urls"], r["min_url"])
+        for r in url_dedup_groups(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "u AS url FROM (SELECT unnest(?) AS u)",
+        [cases],
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(url_dedup_groups_sql(url_expr="url")).fetchall()
+    }
+    assert got == want
+    # spot-check the frozen spec itself, not just cross-engine parity
+    assert got["http://example.com"] == (3, "http://example.com"), got
+    assert got["https://example.com/path?a=1&b=2"] == (
+        1,
+        "https://www.Example.COM:443/Path/?utm_source=x&b=2&a=1#frag",
+    )
+    assert got["https://example.com/x?keep=3"] == (
+        1,
+        "https://example.com/x?utm_campaign=1&utm_medium=2&keep=3",
+    )
+    assert got["https://example.com/x?a=0&a=1"][0] == 1  # dup keys sorted
+    assert got["https://example.com/x?refx=1"] == (
+        1,
+        "https://example.com/x?ref=home&refx=1",
+    )
+    # gclid-only query and the fragment-only variant collapse together
+    assert got["https://example.com/x"][0] == 2
+    assert got["https://example.com/a//b"][0] == 1  # trailing slashes only
+    assert "https://sub.www.example.com" in got  # www only after scheme
+    assert "https://example.com:8080/x" in got  # non-default port kept
+
+
+def test_dedup_reports_match_duckdb(spark):
+    """dedup_report / dedup_size_histogram / source_stats /
+    url_dedup_groups parity vs DuckDB at sf0.001 (the driver re-checks
+    at sf0.01) — including the exact-float dup_ratio (one integer
+    division, bit-equal across engines)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        dedup_report,
+        dedup_report_sql,
+        dedup_size_histogram,
+        dedup_size_histogram_sql,
+        documents_with_urls,
+        source_stats,
+        source_stats_sql,
+        url_dedup_groups,
+        url_dedup_groups_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    rep = dedup_report(docs).collect()[0].asDict()
+    want_rep = dict(
+        zip(
+            [d[0] for d in con.sql(dedup_report_sql()).description],
+            con.sql(dedup_report_sql()).fetchone(),
+        )
+    )
+    assert rep == want_rep
+    assert rep["n_docs"] == docs.count()
+    assert rep["n_dup_docs"] == rep["n_docs"] - rep["n_groups"]
+    assert 0.0 <= rep["dup_ratio"] < 1.0
+
+    hist = {
+        r["group_size"]: r["n_groups"]
+        for r in dedup_size_histogram(docs).collect()
+    }
+    want_hist = dict(con.sql(dedup_size_histogram_sql()).fetchall())
+    assert hist == want_hist
+    assert sum(k * v for k, v in hist.items()) == rep["n_docs"]
+    assert sum(hist.values()) == rep["n_groups"]
+
+    ss = {r["source"]: r.asDict() for r in source_stats(docs).collect()}
+    cur = con.sql(source_stats_sql())
+    cols = [d[0] for d in cur.description]
+    want_ss = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert ss == want_ss
+
+    urls = {
+        r["canonical_url"]: (r["n_urls"], r["min_url"])
+        for r in url_dedup_groups(documents_with_urls(docs)).collect()
+    }
+    want_urls = {
+        r[0]: (r[1], r[2]) for r in con.sql(url_dedup_groups_sql()).fetchall()
+    }
+    assert urls == want_urls
+    assert sum(n for n, _ in urls.values()) == rep["n_docs"]
