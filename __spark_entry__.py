@@ -90,6 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q(lambda s, d: text.lang_profile(_docs(s, d))),
         "lang_id": q(lambda s, d: text.lang_id(_docs(s, d))),
         "doc_fingerprint": q(lambda s, d: text.doc_fingerprint(_docs(s, d))),
+        "repetition_profile": q(
+            lambda s, d: text.repetition_profile(_docs(s, d))
+        ),
+        "quality_filter": q(lambda s, d: text.quality_filter(_docs(s, d))),
         # --- near-dup: n-gram jaccard + simhash (SQL-checkable) ---
         "ngram_jaccard_pairs": q(
             lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
@@ -176,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": text.lang_profile_sql(),
         "lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.doc_fingerprint_sql(),
+        "repetition_profile": text.repetition_profile_sql(),
+        "quality_filter": text.quality_filter_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),

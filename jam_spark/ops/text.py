@@ -250,3 +250,262 @@ def doc_fingerprint_sql() -> str:
                md5(array_to_string({_TOKENS}, ' ')) AS fingerprint
         FROM documents
     """
+
+
+#: frozen spec for line-level repetition signals (Gopher-style quality
+#: rules, Rae et al. 2021 §A1.1): lines := split(text, '\n') keeping
+#: lines with length(trim(line)) > 0; a line occurrence is "duplicate"
+#: when its exact text occurs more than once in the SAME document.
+#: quality_filter thresholds, phrased so every comparison is exact
+#: integer arithmetic (no float thresholds → bit-stable across engines):
+QF_MIN_TOKENS = 10          # R1: n_tokens >= 10
+QF_MAX_TOKENS = 100_000     # R1: n_tokens <= 100k
+QF_MIN_AVG_LEN = 2          # R2: sum_token_len >= 2 * n_tokens
+QF_MAX_AVG_LEN = 12         # R2: sum_token_len <= 12 * n_tokens
+QF_STOP_DENOM = 50          # R3: stop_hits * 50 >= n_tokens (ratio >= 2%)
+QF_DUP_NUM, QF_DUP_DEN = 3, 10  # R4: n_dup_lines * 10 <= n_lines * 3
+
+
+def _lines_col():
+    """Non-empty lines of ``text`` (frozen spec above), as an array."""
+    return F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), "\n"),
+        lambda l: F.length(F.trim(l)) > 0,
+    )
+
+
+def _line_repetition_cols():
+    """Integer repetition aggregates per row, computed MAP-ONLY: sort the
+    per-doc line array and fold adjacent runs with ``F.aggregate`` (state
+    struct: current run + banked totals). O(L log L) per doc inside
+    whole-stage codegen — no explode, no groupBy, zero shuffle, which is
+    the plan you want when this runs inside a 100 TB quality-scoring scan.
+    (The SQL oracle twin uses the equivalent unnest+GROUP BY phrasing —
+    the oracle optimizes for auditability, not scale.)
+
+    Returns (n_lines, line_chars, n_dup_lines, dup_line_chars,
+    top_line_count) columns.
+    """
+    lines = _lines_col()
+    zero = F.lit(0).cast("long")
+    n_lines = F.size(lines).cast("long")
+    line_chars = F.aggregate(
+        F.transform(lines, lambda l: F.length(l).cast("long")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+    def _step(acc, x):
+        same = (acc["run"] > 0) & (x == acc["prev"])
+        closed_dup = acc["run"] > 1
+        banked_ndup = acc["ndup"] + F.when(closed_dup, acc["run"]).otherwise(zero)
+        banked_dupch = acc["dupch"] + F.when(
+            closed_dup, acc["run"] * F.length(acc["prev"]).cast("long")
+        ).otherwise(zero)
+        return F.when(
+            same,
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("long")).alias("run"),
+                acc["ndup"].alias("ndup"),
+                acc["dupch"].alias("dupch"),
+                acc["top"].alias("top"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                banked_ndup.alias("ndup"),
+                banked_dupch.alias("dupch"),
+                F.greatest(acc["top"], acc["run"]).alias("top"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("ndup"),
+            zero.alias("dupch"),
+            zero.alias("top"),
+        ),
+        _step,
+        lambda acc: F.struct(
+            (
+                acc["ndup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+            ).alias("ndup"),
+            (
+                acc["dupch"]
+                + F.when(
+                    acc["run"] > 1,
+                    acc["run"] * F.length(acc["prev"]).cast("long"),
+                ).otherwise(zero)
+            ).alias("dupch"),
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+        ),
+    )
+    return n_lines, line_chars, folded
+
+
+def repetition_profile(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_lines, n_dup_lines, dup_line_frac, dup_line_char_frac,
+    top_line_count) — Gopher-style duplicate-line signals (the "fraction
+    of duplicate lines / characters in duplicate lines" filters of Rae et
+    al. 2021). Fractions are single divisions of exact integer counts.
+    """
+    n_lines, line_chars, folded = _line_repetition_cols()
+    d = documents.select(
+        "doc_id", n_lines.alias("n_lines"), line_chars.alias("line_chars"),
+        folded.alias("f"),
+    )
+    return d.select(
+        "doc_id",
+        "n_lines",
+        F.col("f.ndup").alias("n_dup_lines"),
+        F.when(
+            F.col("n_lines") > 0,
+            F.col("f.ndup").cast("double") / F.col("n_lines"),
+        ).otherwise(F.lit(0.0)).cast("double").alias("dup_line_frac"),
+        F.when(
+            F.col("line_chars") > 0,
+            F.col("f.dupch").cast("double") / F.col("line_chars"),
+        ).otherwise(F.lit(0.0)).cast("double").alias("dup_line_char_frac"),
+        F.col("f.top").alias("top_line_count"),
+    )
+
+
+def repetition_profile_sql() -> str:
+    return """
+        WITH lines AS (
+          SELECT doc_id, line FROM (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), chr(10))) AS line
+            FROM documents)
+          WHERE length(trim(line)) > 0),
+        per AS (
+          SELECT doc_id, line, count(*) AS c, length(line) AS len
+          FROM lines GROUP BY doc_id, line),
+        agg AS (
+          SELECT doc_id,
+                 sum(c)::BIGINT AS n_lines,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_lines,
+                 sum(c * len)::BIGINT AS line_chars,
+                 sum(CASE WHEN c > 1 THEN c * len ELSE 0 END)::BIGINT
+                   AS dup_line_chars,
+                 max(c)::BIGINT AS top_line_count
+          FROM per GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(a.n_lines, 0)::BIGINT AS n_lines,
+               coalesce(a.n_dup_lines, 0)::BIGINT AS n_dup_lines,
+               CASE WHEN coalesce(a.n_lines, 0) > 0
+                 THEN coalesce(a.n_dup_lines, 0)::DOUBLE / a.n_lines
+                 ELSE 0.0 END AS dup_line_frac,
+               CASE WHEN coalesce(a.line_chars, 0) > 0
+                 THEN coalesce(a.dup_line_chars, 0)::DOUBLE / a.line_chars
+                 ELSE 0.0 END AS dup_line_char_frac,
+               coalesce(a.top_line_count, 0)::BIGINT AS top_line_count
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def quality_filter(documents: DataFrame) -> DataFrame:
+    """(doc_id, rule_*, keep) — the Gopher-ish keep/drop gate a
+    training-data pipeline actually runs, composed from the integer-exact
+    doc_quality + repetition signals. Every rule is an exact integer
+    comparison (thresholds phrased as cross-multiplications, see the
+    QF_* constants) so the verdicts are bit-stable across engines; rule
+    flags are 0/1 INTs for hash-stable driver comparison. Map-only.
+    """
+    toks = _tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("long")
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    n_lines, _line_chars, folded = _line_repetition_cols()
+
+    d = documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        sum_tok_len.alias("sum_token_len"),
+        stop_hits.alias("stop_hits"),
+        n_lines.alias("n_lines"),
+        folded["ndup"].alias("n_dup_lines"),
+    )
+    r1 = (
+        (F.col("n_tokens") >= QF_MIN_TOKENS)
+        & (F.col("n_tokens") <= QF_MAX_TOKENS)
+    ).cast("int")
+    r2 = (
+        (F.col("sum_token_len") >= QF_MIN_AVG_LEN * F.col("n_tokens"))
+        & (F.col("sum_token_len") <= QF_MAX_AVG_LEN * F.col("n_tokens"))
+        & (F.col("n_tokens") > 0)
+    ).cast("int")
+    r3 = (F.col("stop_hits") * QF_STOP_DENOM >= F.col("n_tokens")).cast("int")
+    r4 = (
+        F.col("n_dup_lines") * QF_DUP_DEN <= F.col("n_lines") * QF_DUP_NUM
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        r1.alias("rule_token_count"),
+        r2.alias("rule_avg_token_len"),
+        r3.alias("rule_stopword"),
+        r4.alias("rule_dup_lines"),
+        (r1.cast("boolean") & r2.cast("boolean") & r3.cast("boolean")
+         & r4.cast("boolean")).cast("int").alias("keep"),
+    )
+
+
+def quality_filter_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 len({_TOKENS})::BIGINT AS n_tokens,
+                 coalesce(list_sum(list_transform({_TOKENS}, x -> length(x))), 0)::BIGINT
+                   AS sum_token_len,
+                 len(list_filter({_TOKENS}, x -> list_contains([{stop_list}], x)))::BIGINT
+                   AS stop_hits
+          FROM documents),
+        lines AS (
+          SELECT doc_id, line FROM (
+            SELECT doc_id,
+                   unnest(string_split(coalesce(text, ''), chr(10))) AS line
+            FROM documents)
+          WHERE length(trim(line)) > 0),
+        per AS (
+          SELECT doc_id, line, count(*) AS c FROM lines GROUP BY doc_id, line),
+        rep AS (
+          SELECT doc_id,
+                 sum(c)::BIGINT AS n_lines,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_lines
+          FROM per GROUP BY doc_id),
+        j AS (
+          SELECT t.doc_id, t.n_tokens, t.sum_token_len, t.stop_hits,
+                 coalesce(rep.n_lines, 0) AS n_lines,
+                 coalesce(rep.n_dup_lines, 0) AS n_dup_lines
+          FROM t LEFT JOIN rep USING (doc_id)),
+        r AS (
+          SELECT doc_id,
+                 (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS})::INTEGER
+                   AS rule_token_count,
+                 (sum_token_len >= {QF_MIN_AVG_LEN} * n_tokens
+                  AND sum_token_len <= {QF_MAX_AVG_LEN} * n_tokens
+                  AND n_tokens > 0)::INTEGER AS rule_avg_token_len,
+                 (stop_hits * {QF_STOP_DENOM} >= n_tokens)::INTEGER AS rule_stopword,
+                 (n_dup_lines * {QF_DUP_DEN} <= n_lines * {QF_DUP_NUM})::INTEGER
+                   AS rule_dup_lines
+          FROM j)
+        SELECT doc_id, rule_token_count, rule_avg_token_len, rule_stopword,
+               rule_dup_lines,
+               (rule_token_count = 1 AND rule_avg_token_len = 1
+                AND rule_stopword = 1 AND rule_dup_lines = 1)::INTEGER AS keep
+        FROM r
+    """

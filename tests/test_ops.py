@@ -747,3 +747,151 @@ def test_dedup_reports_match_duckdb(spark):
     }
     assert urls == want_urls
     assert sum(n for n, _ in urls.values()) == rep["n_docs"]
+
+
+def _py_repetition_profile(text):
+    """Pure-Python oracle for the frozen repetition spec (third engine,
+    independent of both the Spark fold and the DuckDB GROUP BY)."""
+    from collections import Counter
+
+    # trim() strips only ' ' in Spark and DuckDB — mirror exactly
+    lines = [
+        l for l in (text or "").split("\n") if len(l.strip(" ")) > 0
+    ]
+    counts = Counter(lines)
+    n_lines = len(lines)
+    line_chars = sum(len(l) for l in lines)
+    n_dup = sum(c for c in counts.values() if c > 1)
+    dup_chars = sum(c * len(l) for l, c in counts.items() if c > 1)
+    top = max(counts.values(), default=0)
+    return {
+        "n_lines": n_lines,
+        "n_dup_lines": n_dup,
+        "dup_line_frac": n_dup / n_lines if n_lines else 0.0,
+        "dup_line_char_frac": dup_chars / line_chars if line_chars else 0.0,
+        "top_line_count": top,
+    }
+
+
+def test_repetition_profile_three_engine_parity(spark):
+    """Spark's map-only sorted-run fold vs DuckDB's unnest+GROUP BY vs a
+    pure-Python Counter oracle, on the adversarial line shapes: CRLF
+    remnants, tab-only lines (trim strips only spaces — they survive),
+    all-identical docs, case-sensitive dups, empty and NULL text."""
+    import duckdb
+
+    from jam_spark.ops.text import repetition_profile, repetition_profile_sql
+
+    cases = [
+        "a\nb\nc",
+        "dup\ndup\nother",
+        "x\nx\nx\nx",
+        "",
+        "   \n\t\n  ",
+        None,
+        "one line only",
+        "a\r\na\r\nb",
+        "long line here\nlong line here\nshort",
+        "mixed\nMIXED\nmixed",
+        "z\n\n\nz\n  \nz",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: {
+            k: r[k]
+            for k in (
+                "n_lines", "n_dup_lines", "dup_line_frac",
+                "dup_line_char_frac", "top_line_count",
+            )
+        }
+        for r in repetition_profile(df).collect()
+    }
+    # third engine: pure Python
+    for i, t in enumerate(cases):
+        assert got[i + 1] == _py_repetition_profile(t), (i + 1, t)
+    # second engine: DuckDB
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "t AS text FROM (SELECT unnest(?) AS t)",
+        [cases],
+    )
+    cur = con.sql(repetition_profile_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    for did, row in got.items():
+        assert row == {k: v for k, v in want[did].items() if k != "doc_id"}
+
+
+def test_repetition_profile_plan_is_map_only(spark):
+    """The repetition fold must run inside the scan stage: no Exchange,
+    no Python, no explode — the plan that survives a 100 TB scan."""
+    from jam_spark.ops.text import repetition_profile
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = repetition_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_filter_parity_and_semantics(spark):
+    """quality_filter vs DuckDB on sf0.001 (bit-stable 0/1 verdicts) +
+    rule semantics spot checks on planted docs."""
+    import duckdb
+
+    from jam_spark.ops.text import quality_filter, quality_filter_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {r["doc_id"]: r.asDict() for r in quality_filter(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    cur = con.sql(quality_filter_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+    # the gate must split the corpus, not rubber-stamp it
+    kept = sum(r["keep"] for r in got.values())
+    assert 0 < kept <= len(got)
+
+    planted = [
+        (1, "too short"),  # fails token-count floor
+        (2, ("the quick brown fox jumps over the lazy dog and runs on "
+             "with it for a while longer today ") * 3),  # passes all
+        (3, "spam line\nspam line\n" * 40 + "the end of it all is near "
+            "and the words keep going on for a while longer"),  # dup lines
+        (4, " ".join("supercalifragilistic" for _ in range(60))),  # avg len
+    ]
+    pdf = spark.createDataFrame(planted, "doc_id long, text string")
+    verdicts = {r["doc_id"]: r.asDict() for r in quality_filter(pdf).collect()}
+    assert verdicts[1]["rule_token_count"] == 0 and verdicts[1]["keep"] == 0
+    assert verdicts[2]["keep"] == 1
+    assert verdicts[3]["rule_dup_lines"] == 0 and verdicts[3]["keep"] == 0
+    assert verdicts[4]["rule_avg_token_len"] == 0 and verdicts[4]["keep"] == 0
+
+
+def test_repetition_profile_sf_parity(spark):
+    """Full-corpus parity at sf0.001 (the driver re-checks at sf0.01),
+    exact-float fractions included."""
+    import duckdb
+
+    from jam_spark.ops.text import repetition_profile, repetition_profile_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    cur = con.sql(repetition_profile_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
