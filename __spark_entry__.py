@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: text.repetition_profile(_docs(s, d))
         ),
         "quality_filter": q(lambda s, d: text.quality_filter(_docs(s, d))),
+        "pii_profile": q(lambda s, d: text.pii_profile(_docs(s, d))),
+        # --- test-set decontamination (broadcast benchmark-gram probe;
+        #     benchmark slice = doc_id % 97 == 3, deterministic in-corpus) ---
+        "decontaminate": q(lambda s, d: dedup.decontaminate(_docs(s, d))),
         # --- near-dup: n-gram jaccard + simhash (SQL-checkable) ---
         "ngram_jaccard_pairs": q(
             lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
@@ -182,6 +186,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.doc_fingerprint_sql(),
         "repetition_profile": text.repetition_profile_sql(),
         "quality_filter": text.quality_filter_sql(),
+        "pii_profile": text.pii_profile_sql(),
+        "decontaminate": dedup.decontaminate_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),

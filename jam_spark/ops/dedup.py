@@ -226,6 +226,109 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+# ------------------------------------- benchmark decontamination (n-gram)
+
+def decontaminate(
+    documents: DataFrame, n: int = 4, modulus: int = 97, residue: int = 3,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Test-set decontamination: flag training documents that share any
+    word ``n``-gram with a benchmark slice of the corpus (the overlap
+    check GPT-3 appendix C / Dodge et al. 2021 run before training; they
+    use 8-13-grams — the default here is sized to the synthetic corpus).
+
+    The benchmark slice is deterministic and in-corpus (no external
+    data): documents with ``doc_id % modulus == residue``. Everything
+    else is "training" data. Returns one row per CONTAMINATED training
+    doc: ``(doc_id, n_hits, n_grams, contaminated_frac)`` where
+    ``n_hits`` counts distinct benchmark n-grams found in the doc and
+    ``n_grams`` its distinct n-gram vocabulary.
+
+    Scale shape (the 100 TB plan): the benchmark gram set is small and
+    BROADCAST, so the probe is a map-side semi-join over the exploded
+    training grams — no all-to-all shuffle; the only wide exchange is
+    the final per-doc partial-aggregated count. Grams with training
+    document-frequency > ``max_df`` are dropped from both the probe and
+    the denominator (boilerplate carries no contamination signal and is
+    the join-fan-out skew risk — same guard as ngram_jaccard_pairs).
+    The SQL twin applies the identical cap.
+    """
+    docs = _ensure_parallelism(documents)
+    is_bench = (F.col("doc_id") % modulus) == residue
+    # _ngrams_col is array_distinct per doc — explode output is already
+    # (doc_id, gram)-distinct
+    grams = docs.select(
+        "doc_id", is_bench.alias("is_bench"),
+        F.explode(_ngrams_col(n)).alias("gram"),
+    )
+    bench = grams.filter(F.col("is_bench")).select("gram").distinct()
+    train0 = grams.filter(~F.col("is_bench")).select("doc_id", "gram")
+    hot = (
+        train0.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("gram")
+    )
+    # one gram-keyed exchange reused by sizes and the probe join
+    train = train0.join(F.broadcast(hot), "gram", "left_anti").repartition(
+        "gram"
+    )
+    sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        F.col("doc_id").cast("long"),
+        F.col("n_hits").cast("long"),
+        F.col("n_grams").cast("long"),
+        (F.col("n_hits").cast("double") / F.col("n_grams")).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+def decontaminate_sql(
+    n: int = 4, modulus: int = 97, residue: int = 3, max_df: int = 10_000
+) -> str:
+    gram_expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        grams AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest([{gram_expr} for i in range(1, len(t) - {n - 2})]) AS gram
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        bench AS (
+          SELECT DISTINCT gram FROM grams WHERE doc_id % {modulus} = {residue}
+        ),
+        train0 AS (
+          SELECT doc_id, gram FROM grams WHERE doc_id % {modulus} <> {residue}
+        ),
+        keep AS (
+          SELECT gram FROM train0 GROUP BY gram HAVING count(*) <= {max_df}
+        ),
+        train AS (
+          SELECT t.doc_id, t.gram FROM train0 t JOIN keep USING (gram)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+        hits AS (
+          SELECT t.doc_id, count(*) AS n_hits
+          FROM train t JOIN bench USING (gram) GROUP BY t.doc_id
+        )
+        SELECT h.doc_id::BIGINT AS doc_id,
+               h.n_hits::BIGINT AS n_hits,
+               s.n_grams::BIGINT AS n_grams,
+               h.n_hits::DOUBLE / s.n_grams AS contaminated_frac
+        FROM hits h JOIN sizes s USING (doc_id)
+    """
+
+
 # ------------------------------------------- duplicated substring spans
 
 def substring_dup_spans(

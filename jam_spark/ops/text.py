@@ -410,6 +410,74 @@ def repetition_profile_sql() -> str:
     """
 
 
+#: PII patterns, restricted to constructs Java regex (Spark) and RE2
+#: (DuckDB) evaluate identically: ASCII classes, bounded repetition,
+#: ASCII word boundaries (\b is ASCII-\w-based in both), no lookarounds
+#: (RE2 has none), no backreferences. Redaction applies them in this
+#: order (emails first so their digit/dot runs can't be re-matched).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9]{7,15}\b"
+_PII_ORDER = [
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+]
+
+
+def pii_profile(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, pii_total, redacted_fp) —
+    per-doc PII detection counts plus the md5 fingerprint of the
+    REDACTED text (matches spans replaced by fixed tokens, applied in
+    the frozen ``_PII_ORDER``). The fingerprint lets a pipeline verify
+    redacted output without shipping the text itself.
+
+    Map-only JVM regexp (whole-stage codegen, zero shuffle) — the shape
+    you want when this runs inside a 100 TB quality/compliance scan.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).cast(
+            "long"
+        )
+        for name, pat, _ in _PII_ORDER
+    }
+    redacted = text
+    for _, pat, token in _PII_ORDER:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return documents.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        (counts["email"] + counts["ipv4"] + counts["phone"]).alias(
+            "pii_total"
+        ),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def pii_profile_sql() -> str:
+    def cnt(pat: str) -> str:
+        p = pat.replace("'", "''")
+        return f"len(regexp_extract_all(coalesce(text, ''), '{p}'))"
+
+    redacted = "coalesce(text, '')"
+    for _, pat, token in _PII_ORDER:
+        p = pat.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {cnt(PII_EMAIL)}::BIGINT AS n_emails,
+               {cnt(PII_IPV4)}::BIGINT AS n_ipv4,
+               {cnt(PII_PHONE)}::BIGINT AS n_phones,
+               ({cnt(PII_EMAIL)} + {cnt(PII_IPV4)} + {cnt(PII_PHONE)})::BIGINT
+                 AS pii_total,
+               md5({redacted}) AS redacted_fp
+        FROM documents
+    """
+
+
 def quality_filter(documents: DataFrame) -> DataFrame:
     """(doc_id, rule_*, keep) — the Gopher-ish keep/drop gate a
     training-data pipeline actually runs, composed from the integer-exact

@@ -895,3 +895,134 @@ def test_repetition_profile_sf_parity(spark):
     cols = [d[0] for d in cur.description]
     want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
     assert got == want
+
+
+def test_pii_profile_matches_duckdb_on_planted_pii(spark):
+    """Spark (Java regex) and DuckDB (RE2) must agree on counts AND the
+    redacted-text fingerprint for the constructs that could diverge:
+    word boundaries next to digit runs, greedy bounded repetition with a
+    trailing \\b (16-digit run must NOT match the 7-15 phone pattern),
+    an IP glued to letters (\\b fails), and redaction order (the IP
+    inside an email must already be gone when the IP pass runs)."""
+    import duckdb
+
+    from jam_spark.ops.text import pii_profile, pii_profile_sql
+
+    cases = [
+        "contact alice.smith+spam@example.co.uk or bob@sub.domain.org now",
+        "server at 10.0.0.1 and 192.168.255.254, not x10.0.0.1y glued",
+        "call +4915123456789 or +1234567 but not +123456 (too short)",
+        "sixteen digits +1234567890123456 must not match the phone rule",
+        "mixed: eve@host.io from 127.0.0.1 dialed +33123456789 twice: "
+        "eve@host.io",
+        "no pii here, just words and numbers 123 45.6",
+        "",
+        "email-in-url http://a.b@c2.3.4.5d.com/x stays tricky",
+    ]
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in pii_profile(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () AS doc_id, "
+        "t AS text FROM (SELECT unnest(?) AS t)",
+        [cases],
+    )
+    cur = con.sql(pii_profile_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+    # semantic spot checks (not just cross-engine equality)
+    assert got[1]["n_emails"] == 2 and got[1]["pii_total"] == 2
+    assert got[2]["n_ipv4"] == 2  # the glued x10.0.0.1y must not count
+    assert got[3]["n_phones"] == 2  # +123456 (6 digits) is too short
+    assert got[4]["n_phones"] == 0  # 16 digits: no 7-15 run ends at \b
+    assert got[5]["n_emails"] == 2 and got[5]["n_ipv4"] == 1
+    assert got[5]["n_phones"] == 1
+    assert got[6]["pii_total"] == 0 and got[7]["pii_total"] == 0
+
+
+def test_decontaminate_matches_duckdb_and_flags_planted_overlap(spark):
+    """Planted corpus: doc_id 3 is the benchmark slice (residue 3 mod
+    97); docs 10/20 copy 4-gram spans from it, doc 30 shares only a
+    3-gram (must NOT be flagged at n=4), and a boilerplate 4-gram in
+    EVERY doc is dropped by the max_df cap (so it alone never flags)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import decontaminate, decontaminate_sql
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    boiler = "click here to subscribe"
+    rows = [
+        (3, bench_text + " " + boiler),
+        # copies "beta gamma delta epsilon zeta" -> two distinct 4-grams
+        (10, "x1 beta gamma delta epsilon zeta y1 " + boiler),
+        # copies exactly one 4-gram
+        (20, "alpha beta gamma delta unrelated words here " + boiler),
+        # only a 3-gram overlap ("zeta eta theta" split by a new token)
+        (30, "zeta eta theta completely different tail words " + boiler),
+        (40, "totally clean document with its own vocabulary " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in decontaminate(df, n=4, max_df=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+        "unnest(?) AS text",
+        [[r[0] for r in rows], [r[1] for r in rows]],
+    )
+    cur = con.sql(decontaminate_sql(n=4, max_df=3))
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+    assert set(got) == {10, 20}
+    assert got[10]["n_hits"] == 2 and got[20]["n_hits"] == 1
+    # the boilerplate gram sits in all 4 training docs (> max_df=3), so
+    # it is dropped from numerator AND denominator
+    assert all(r["contaminated_frac"] <= 1.0 for r in got.values())
+
+
+def test_decontaminate_sf_parity(spark):
+    """Full-corpus parity at sf0.001 with driver defaults (the driver
+    re-checks at sf0.01, where the benchmark slice has real near-dups)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import decontaminate, decontaminate_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {r["doc_id"]: r.asDict() for r in decontaminate(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    cur = con.sql(decontaminate_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+
+
+def test_pii_profile_sf_parity(spark):
+    """Full-corpus parity at sf0.001 — the corpus has no PII, so counts
+    are all zero and redacted_fp must equal md5(text) (redaction is the
+    identity on clean text)."""
+    import duckdb
+
+    from jam_spark.ops.text import pii_profile, pii_profile_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {r["doc_id"]: r.asDict() for r in pii_profile(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    cur = con.sql(pii_profile_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+    assert all(r["pii_total"] == 0 for r in got.values())
