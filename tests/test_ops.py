@@ -1026,3 +1026,20 @@ def test_pii_profile_sf_parity(spark):
     want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
     assert got == want
     assert all(r["pii_total"] == 0 for r in got.values())
+
+
+def test_decontaminate_plan_probe_is_broadcast(spark):
+    """The benchmark-gram probe must be a BroadcastHashJoin (map-side
+    semi-join over the exploded training grams) and both skew guards
+    (hot-gram anti-join, bench probe) must broadcast — the only wide
+    exchanges allowed are gram/doc_id hash repartitions. A sort-merge
+    probe here would all-to-all-shuffle the full training gram explosion
+    at 100 TB."""
+    from jam_spark.ops.dedup import decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = decontaminate(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the gram-exploded training relation must never be sort-merge-joined
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
