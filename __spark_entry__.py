@@ -83,6 +83,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.documents_with_urls(_docs(s, d))
             )
         ),
+        # --- html -> text extraction (north-rule per-row invariant stage)
+        #     over the deterministic html wrapper (the testdata documents
+        #     table has no html column; the SQL twin builds identical
+        #     bytes, so every strip/entity rule is value-checked) ---
+        "extract_text": q(
+            lambda s, d: text.extract_text(
+                text.documents_as_pages(_docs(s, d)), key="doc_id"
+            )
+        ),
         # --- text analysis ---
         "token_counts": q(lambda s, d: text.token_counts(_docs(s, d))),
         "token_counts_bpe": q(lambda s, d: text.token_counts_bpe(_docs(s, d))),
@@ -98,6 +107,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- test-set decontamination (broadcast benchmark-gram probe;
         #     benchmark slice = doc_id % 97 == 3, deterministic in-corpus) ---
         "decontaminate": q(lambda s, d: dedup.decontaminate(_docs(s, d))),
+        # --- corpus-level line dedup (CCNet/C4/RefinedWeb boilerplate
+        #     removal) over the deterministic newline-structured derivation
+        #     (the flat testdata text has no newlines; the SQL twin builds
+        #     the identical strings): remove lines duplicated across the
+        #     WHOLE corpus, fingerprint the reassembly; + the audit report
+        "line_dedup": q(
+            lambda s, d: dedup.line_dedup(
+                dedup.documents_with_lines(_docs(s, d))
+            )
+        ),
+        "boilerplate_lines": q(
+            lambda s, d: dedup.boilerplate_lines(
+                dedup.documents_with_lines(_docs(s, d))
+            )
+        ),
         # --- near-dup: n-gram jaccard + simhash (SQL-checkable) ---
         "ngram_jaccard_pairs": q(
             lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d))
@@ -178,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_size_histogram": dedup.dedup_size_histogram_sql(),
         "source_stats": dedup.source_stats_sql(),
         "url_dedup_groups": dedup.url_dedup_groups_sql(),
+        "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),
         "token_counts_bpe": text.token_counts_bpe_sql(),
         "doc_quality": text.doc_quality_sql(),
@@ -188,6 +213,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": text.quality_filter_sql(),
         "pii_profile": text.pii_profile_sql(),
         "decontaminate": dedup.decontaminate_sql(),
+        "line_dedup": dedup.line_dedup_sql(),
+        "boilerplate_lines": dedup.boilerplate_lines_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),
         "simhash": dedup.simhash_sql(),
         "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),

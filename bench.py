@@ -101,6 +101,18 @@ def main() -> None:
         ("ngram_jaccard_pairs", lambda: dedup.ngram_jaccard_pairs(docs)),
         ("simhash", lambda: dedup.simhash(docs)),
         ("simhash_dup_pairs", lambda: dedup.simhash_dup_pairs(docs)),
+        ("quality_filter", lambda: text.quality_filter(docs)),
+        ("repetition_profile", lambda: text.repetition_profile(docs)),
+        ("pii_profile", lambda: text.pii_profile(docs)),
+        (
+            "url_dedup_groups",
+            lambda: dedup.url_dedup_groups(dedup.documents_with_urls(docs)),
+        ),
+        ("decontaminate", lambda: dedup.decontaminate(docs)),
+        (
+            "line_dedup",
+            lambda: dedup.line_dedup(dedup.documents_with_lines(docs)),
+        ),
         ("minhash_sketches", lambda: dedup.minhash_sketches(docs)),
         ("minhash_pairs", lambda: dedup.minhash_pairs(docs)),
         ("minhash_clusters", lambda: dedup.minhash_clusters(docs)),

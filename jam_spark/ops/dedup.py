@@ -1068,3 +1068,237 @@ def url_dedup_groups_sql(url_expr: str | None = None) -> str:
                min(url) AS min_url
         FROM canon GROUP BY canonical_url
     """
+
+
+# --------------------------------------------------------------------------
+# Corpus-level line dedup (CCNet / C4 / RefinedWeb boilerplate removal)
+# --------------------------------------------------------------------------
+
+#: minimum TRIMMED line length (chars) for a line to participate in
+#: corpus-level dedup. Shorter lines ("", "*", "1.") are structural —
+#: removing them would shred lists and code — so they are always kept.
+LINE_DEDUP_MIN_LEN = 10
+
+_COOKIE_FOOTER = (
+    "cookie notice: this site uses cookies to improve your experience"
+)
+_LEGAL_FOOTER = "all rights reserved - terms of service - privacy policy"
+
+
+def documents_with_lines(documents: DataFrame) -> DataFrame:
+    """Deterministic newline-structured corpus derived from the flat
+    testdata documents (whose text is one long space-separated line, so
+    line-level dedup would be vacuous on it): every 8th space becomes a
+    newline, and shared boilerplate footer lines are appended to
+    deterministic doc slices (``doc_id % 3 == 0`` → cookie banner,
+    ``doc_id % 5 == 0`` → legal footer) so the corpus-duplicate-line set
+    is non-trivial. The SQL twins build byte-identical strings, keeping
+    :func:`line_dedup` / :func:`boilerplate_lines` value-checked
+    end-to-end (same pattern as :func:`documents_with_urls`)."""
+    d = F.col("doc_id")
+    wrapped = F.regexp_replace(
+        F.coalesce("text", F.lit("")), r"((?:\S+ ){7}\S+) ", "$1\n"
+    )
+    cookie = F.when(d % 3 == 0, F.lit("\n" + _COOKIE_FOOTER)).otherwise(
+        F.lit("")
+    )
+    legal = F.when(d % 5 == 0, F.lit("\n" + _LEGAL_FOOTER)).otherwise(
+        F.lit("")
+    )
+    return documents.select(
+        "doc_id", F.concat(wrapped, cookie, legal).alias("text")
+    )
+
+
+#: DuckDB twin of :func:`documents_with_lines`'s text expression. RE2's
+#: replacement backref is ``\1`` (Java's is ``$1``); both engines scan
+#: left-to-right and resume after each non-overlapping match, so the
+#: wrapped strings are byte-identical.
+_SYNTH_LINES_SQL = rf"""
+    regexp_replace(coalesce(text, ''), '((?:\S+ ){{7}}\S+) ',
+                   '\1' || chr(10), 'g')
+    || (CASE WHEN doc_id % 3 = 0
+             THEN chr(10) || '{_COOKIE_FOOTER}' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+             THEN chr(10) || '{_LEGAL_FOOTER}' ELSE '' END)
+"""
+
+
+def _corpus_lines(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, line): posexplode on newline split. ``coalesce`` to
+    '' keeps NULL-text docs (one empty line) so every doc_id survives
+    the per-doc reassembly groupBy. Spark's regex split with default
+    limit -1 keeps trailing empties — byte-parity with DuckDB's
+    string_split."""
+    return _ensure_parallelism(documents).select(
+        "doc_id",
+        F.posexplode(F.split(F.coalesce("text", F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+
+
+def line_dedup(
+    documents: DataFrame, min_len: int = LINE_DEDUP_MIN_LEN
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed_lines, removed_char_frac, clean_fp) —
+    corpus-LEVEL duplicate-line removal, the CCNet/C4/RefinedWeb
+    boilerplate pass (distinct from :func:`~jam_spark.ops.text.
+    repetition_profile`, which is within-document): a line whose trimmed
+    length is >= ``min_len`` and which occurs more than once across the
+    WHOLE corpus (within-doc repeats count, as in CCNet's shard-hash
+    pass) is removed from every document; the cleaned text is reassembled
+    in original line order and fingerprinted (``clean_fp = md5``), which
+    keeps the result narrow while still proving byte-identical
+    reconstruction against the oracle.
+
+    Scale shape (the plan that survives 100 TB):
+
+    - duplicate-line set: one hash aggregate on ``md5(line)`` — map-side
+      combine collapses a 10^8-mirror boilerplate line to one partial
+      per task before the shuffle; only keys with count > 1 survive
+      (``HAVING``), so the build side of the next join is the DUP set,
+      not the line vocabulary.
+    - flagging: keyed shuffle join lines->dup_set on the 128-bit md5.
+      The dup side has exactly ONE row per key, so a hot boilerplate key
+      is N x 1 — AQE skew-split handles it without salting.
+    - reassembly: one groupBy(doc_id) with collect_list(struct(pos,
+      line)) + array_sort; per-group state is one document's own lines
+      (bounded by max doc size, not corpus size).
+
+    No window functions, no driver-side state, three shuffles total.
+    """
+    lines = _corpus_lines(documents)
+    eligible = F.length(F.trim(F.col("line"))) >= min_len
+    dup_set = (
+        lines.where(eligible)
+        .groupBy(F.md5("line").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = (
+        lines.join(
+            dup_set.withColumn("is_dup", F.lit(True)),
+            F.md5(lines["line"]) == dup_set["h"],
+            "left",
+        )
+        .withColumn("rm", eligible & F.coalesce("is_dup", F.lit(False)))
+        .select("doc_id", "pos", "line", "rm")
+    )
+    kept = F.when(~F.col("rm"), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("rm").cast("long")).cast("long").alias("n_removed_lines"),
+        F.when(
+            F.sum(F.length("line")) > 0,
+            F.sum(F.when(F.col("rm"), F.length("line")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(F.length("line")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("removed_char_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["line"]
+                ),
+                "\n",
+            )
+        ).alias("clean_fp"),
+    )
+
+
+def line_dedup_sql(
+    min_len: int = LINE_DEDUP_MIN_LEN, text_expr: str | None = None
+) -> str:
+    """DuckDB twin of :func:`line_dedup`. ``text_expr`` defaults to the
+    :func:`documents_with_lines` synthetic builder (the flat testdata
+    text has no newlines); pass ``"text"`` to run over a real
+    newline-structured corpus (the parity test does). ``string_agg(...
+    ORDER BY pos)`` skips the NULLed-out removed lines, exactly like
+    Spark's null-skipping ``collect_list``; an all-removed doc coalesces
+    to md5('')."""
+    text_expr = text_expr or _SYNTH_LINES_SQL
+    return f"""
+        WITH ex AS (
+            SELECT doc_id,
+                   string_split(coalesce({text_expr}, ''), chr(10)) AS ls
+            FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS pos
+            FROM ex),
+        dup AS (
+            SELECT md5(line) AS h FROM lines
+            WHERE length(trim(line)) >= {min_len}
+            GROUP BY 1 HAVING count(*) > 1),
+        flagged AS (
+            SELECT l.doc_id, l.pos, l.line,
+                   (length(trim(l.line)) >= {min_len}
+                    AND d.h IS NOT NULL) AS rm
+            FROM lines l LEFT JOIN dup d ON md5(l.line) = d.h)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed_lines,
+               CASE WHEN sum(length(line)) > 0
+                    THEN sum(CASE WHEN rm THEN length(line) ELSE 0 END)::DOUBLE
+                         / sum(length(line))::DOUBLE
+                    ELSE 0.0 END AS removed_char_frac,
+               md5(coalesce(string_agg(CASE WHEN rm THEN NULL ELSE line END,
+                                       chr(10) ORDER BY pos), '')) AS clean_fp
+        FROM flagged GROUP BY doc_id
+    """
+
+
+def boilerplate_lines(
+    documents: DataFrame,
+    min_len: int = LINE_DEDUP_MIN_LEN,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(line, n_docs, n_occurrences) — the corpus boilerplate report:
+    every eligible line that appears in >= ``min_docs`` DISTINCT
+    documents, with its document reach and total occurrence count. This
+    is the audit view a pipeline operator reads before trusting
+    :func:`line_dedup`'s removals (nav bars, cookie banners, footer
+    legalese all surface here).
+
+    One hash aggregate on the line string (the output key, so hashing
+    it away would only add a join back); ``count(DISTINCT doc_id)`` is
+    Spark's two-phase partial-distinct expansion — no driver state, and
+    the expand shuffle carries only eligible lines."""
+    lines = _corpus_lines(documents)
+    return (
+        lines.where(F.length(F.trim(F.col("line"))) >= min_len)
+        .groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_lines_sql(
+    min_len: int = LINE_DEDUP_MIN_LEN,
+    min_docs: int = 2,
+    text_expr: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`boilerplate_lines`; ``text_expr`` as in
+    :func:`line_dedup_sql`."""
+    text_expr = text_expr or _SYNTH_LINES_SQL
+    return f"""
+        WITH ex AS (
+            SELECT doc_id,
+                   string_split(coalesce({text_expr}, ''), chr(10)) AS ls
+            FROM documents),
+        lines AS (
+            SELECT doc_id, unnest(ls) AS line FROM ex)
+        SELECT line,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+        FROM lines
+        WHERE length(trim(line)) >= {min_len}
+        GROUP BY line
+        HAVING count(DISTINCT doc_id) >= {min_docs}
+    """

@@ -577,3 +577,123 @@ def quality_filter_sql() -> str:
                 AND rule_stopword = 1 AND rule_dup_lines = 1)::INTEGER AS keep
         FROM r
     """
+
+
+# --------------------------------------------------------------------------
+# HTML -> text extraction (the north-rule per-row invariant stage)
+# --------------------------------------------------------------------------
+
+#: frozen entity decode table; ``&amp;`` is decoded LAST so that
+#: "&amp;lt;" yields "&lt;" (one decode pass), never "<".
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+#: element-with-content removals, then comments, then every remaining tag.
+#: Inline flags ``(?is)`` (not engine option strings) so the Java regex in
+#: Spark and RE2 in DuckDB compile the identical pattern; both use lazy
+#: ``.*?`` with left-to-right non-overlapping global replace, so the
+#: extracted bytes are identical across engines. No backreferences (RE2
+#: has none), hence separate script/style patterns.
+_HTML_STRIP_PATTERNS = [
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+]
+
+
+def extract_text(pages: DataFrame, key: str = "url") -> DataFrame:
+    """(key, text) — HTML→text extraction over a pages-shaped table
+    (``html`` binary column, BASELINE.json input_hint). This is the
+    stage whose output carries the north-rule per-row invariant:
+    byte-identical extracted text per url across runs and engines.
+
+    Frozen spec (all JVM built-ins, zero Python, map-only — scales as a
+    pure scan projection at 100 TB, and Parquet reads only (key, html)):
+
+    1. decode ``html`` bytes as UTF-8 (NULL → '')
+    2. remove ``<script>``/``<style>`` elements INCLUDING content
+    3. remove ``<!-- comments -->``
+    4. strip every remaining ``<...>`` tag (no whitespace inserted)
+    5. decode the six frozen entities, ``&amp;`` last
+
+    Deliberately NOT a browser: no block-element newlines, no whitespace
+    collapse — those would make the invariant depend on render policy.
+    """
+    col = F.coalesce(F.decode(F.col("html"), "UTF-8"), F.lit(""))
+    for pat in _HTML_STRIP_PATTERNS:
+        col = F.regexp_replace(col, pat, "")
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return pages.select(key, col.alias("text"))
+
+
+def documents_as_pages(documents: DataFrame) -> DataFrame:
+    """(doc_id, html) — deterministic html wrapper around the flat
+    testdata text (the documents table has no html column), planting
+    every frozen extraction feature: a head ``<style>`` block, a
+    ``<script>`` whose content (with a raw ``<`` and an entity) must
+    vanish, an html comment, tag attributes, and all six frozen entities
+    on the ``doc_id % 4 == 0`` slice. The SQL twin builds byte-identical
+    strings, so :func:`extract_text` is value-checked end-to-end (same
+    pattern as ``dedup.documents_with_urls``)."""
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit(
+            "<html><head><title>p</title><style>p{color:red}</style>"
+            '</head><body onload="x()"><p>'
+        ),
+        F.coalesce("text", F.lit("")),
+        F.lit(
+            '</p><script type="text/javascript">if (1<2) {'
+            ' alert("&amp;"); }</script><!-- footer -->'
+        ),
+        F.when(
+            d % 4 == 0,
+            F.lit(
+                "<div>R&amp;D &lt;tag&gt; &quot;q&quot;"
+                " &#39;s&#39;&nbsp;end</div>"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return documents.select("doc_id", F.encode(body, "UTF-8").alias("html"))
+
+
+#: DuckDB twin of :func:`documents_as_pages`'s html string (VARCHAR —
+#: the UTF-8 encode/decode roundtrip is the identity on it).
+_SYNTH_HTML_SQL = """
+    '<html><head><title>p</title><style>p{color:red}</style>'
+    || '</head><body onload="x()"><p>'
+    || coalesce(text, '')
+    || '</p><script type="text/javascript">if (1<2) {'
+    || ' alert("&amp;"); }</script><!-- footer -->'
+    || (CASE WHEN doc_id % 4 = 0
+             THEN '<div>R&amp;D &lt;tag&gt; &quot;q&quot;'
+                  || ' &#39;s&#39;&nbsp;end</div>'
+             ELSE '' END)
+    || '</body></html>'
+"""
+
+
+def extract_text_sql(key: str = "doc_id", html_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`extract_text` over
+    :func:`documents_as_pages`-shaped input; ``html_expr`` defaults to
+    the synthetic builder (pass a real column to check a stored corpus)."""
+    html_expr = html_expr or _SYNTH_HTML_SQL
+    col = f"coalesce({html_expr}, '')"
+    for pat in _HTML_STRIP_PATTERNS:
+        # DuckDB regular string literals pass backslashes through
+        # verbatim (no escape processing) — only quotes need doubling
+        esc = pat.replace("'", "''")
+        col = f"regexp_replace({col}, '{esc}', '', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        lit = "chr(160)" if ch == " " else "'" + ch.replace("'", "''") + "'"
+        col = f"replace({col}, '{ent}', {lit})"
+    return f"SELECT {key}, {col} AS text FROM documents"

@@ -1043,3 +1043,207 @@ def test_decontaminate_plan_probe_is_broadcast(spark):
     # the gram-exploded training relation must never be sort-merge-joined
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _py_line_dedup(docs, min_len=10):
+    """Pure-Python oracle for corpus-level line dedup (third engine,
+    independent of both the Spark plan and the DuckDB SQL): global
+    count of eligible lines, remove count>1, reassemble + md5."""
+    import hashlib
+    from collections import Counter
+
+    lines_per = {i: (t if t is not None else "").split("\n") for i, t in docs}
+    cnt = Counter()
+    for ls in lines_per.values():
+        for line in ls:
+            # trim() strips only ' ' in Spark and DuckDB — mirror exactly
+            if len(line.strip(" ")) >= min_len:
+                cnt[line] += 1
+    out = {}
+    for i, ls in lines_per.items():
+        rm = [
+            len(line.strip(" ")) >= min_len and cnt[line] > 1 for line in ls
+        ]
+        clean = "\n".join(l for l, r in zip(ls, rm) if not r)
+        total = sum(len(l) for l in ls)
+        removed = sum(len(l) for l, r in zip(ls, rm) if r)
+        out[i] = dict(
+            n_lines=len(ls),
+            n_removed_lines=sum(rm),
+            removed_char_frac=(removed / total) if total > 0 else 0.0,
+            clean_fp=hashlib.md5(clean.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_line_dedup_planted_corpus(spark):
+    """Planted boilerplate: a cookie banner shared by 3 docs is removed
+    from all of them, a short (<10 char trimmed) duplicated line is KEPT,
+    a within-doc repeated long line counts as a corpus duplicate
+    (CCNet semantics), and a NULL-text doc survives reassembly. The
+    cleaned text is verified byte-identically via clean_fp against the
+    pure-Python oracle."""
+    from jam_spark.ops.dedup import boilerplate_lines, line_dedup
+
+    banner = "this site uses cookies to improve your experience"
+    docs = [
+        (1, f"unique opening line one\n{banner}\nok\nunique tail one"),
+        (2, f"{banner}\nsecond doc body text here\nok"),
+        (3, f"third doc body text here\n{banner}"),
+        (4, "a long line repeated inside one doc\na long line repeated inside one doc"),
+        (5, None),
+        (6, ""),
+    ]
+    got = {
+        r["doc_id"]: {k: v for k, v in r.asDict().items() if k != "doc_id"}
+        for r in line_dedup(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    want = _py_line_dedup(docs)
+    assert got == want
+    # semantics spot-checks (guard the oracle itself)
+    assert got[1]["n_removed_lines"] == 1  # banner only; "ok" kept (short)
+    assert got[3]["n_removed_lines"] == 1
+    assert got[4]["n_removed_lines"] == 2  # within-doc repeats count
+    assert got[5]["n_lines"] == 1 and got[5]["n_removed_lines"] == 0
+    assert 5 in got and 6 in got  # NULL/empty docs survive
+    bp = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_lines(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    # default min_docs=2: the within-one-doc repeat (reach 1) is excluded
+    assert bp == {banner: (3, 3)}
+    bp1 = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_lines(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            min_docs=1,
+        ).collect()
+    }
+    # min_docs=1 is the full eligible-line census: the within-doc repeat
+    # surfaces with reach 1 / occurrences 2, singletons with (1, 1)
+    assert bp1[banner] == (3, 3)
+    assert bp1["a long line repeated inside one doc"] == (1, 2)
+    assert bp1["second doc body text here"] == (1, 1)
+    assert all(n >= 1 and occ >= n for n, occ in bp1.values())
+
+
+def test_line_dedup_matches_duckdb(spark):
+    """line_dedup / boilerplate_lines parity vs DuckDB at sf0.001 over
+    the deterministic documents_with_lines derivation (the driver
+    re-checks at sf0.01), plus footer-slice invariants: every
+    doc_id%3==0 doc loses at least its cookie banner."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        boilerplate_lines,
+        boilerplate_lines_sql,
+        documents_with_lines,
+        line_dedup,
+        line_dedup_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = documents_with_lines(spark.read.parquet(path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    got = {r["doc_id"]: r.asDict() for r in line_dedup(docs).collect()}
+    cur = con.sql(line_dedup_sql())
+    cols = [d[0] for d in cur.description]
+    want = {r[0]: dict(zip(cols, r)) for r in cur.fetchall()}
+    assert got == want
+    assert all(
+        v["n_removed_lines"] >= 1 for k, v in got.items() if k % 3 == 0
+    ), "cookie-banner slice must lose its planted footer"
+
+    got_bp = {
+        r["line"]: (r["n_docs"], r["n_occurrences"])
+        for r in boilerplate_lines(docs).collect()
+    }
+    want_bp = {
+        r[0]: (r[1], r[2]) for r in con.sql(boilerplate_lines_sql()).fetchall()
+    }
+    assert got_bp == want_bp
+    assert any("cookie notice" in l for l in got_bp), got_bp.keys()
+
+
+def test_extract_text_frozen_spec(spark):
+    """Hand-built html exercising every frozen extraction rule:
+    script/style content removal (including a raw '<' inside script),
+    comment removal, attribute-bearing tags, the six entities, the
+    &amp;lt; double-escape pitfall (one decode pass only), and NULL
+    html."""
+    from jam_spark.ops.text import extract_text
+
+    cases = [
+        (1, b"<html><body><p>hello</p></body></html>", "hello"),
+        (2, b'<script>if (1<2) alert("x")</script>rest', "rest"),
+        (3, b"<style>p { color: red; }</style>kept", "kept"),
+        (4, b"a<!-- c <b> -->z", "az"),
+        (5, b'<div class="x" data-y="1">t</div>', "t"),
+        (6, b"&lt;i&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp;", "<i> \"q\" 's' a b &"),
+        # one decode pass: &amp;lt; is the ESCAPED literal "&lt;"
+        (7, b"&amp;lt;", "&lt;"),
+        (8, None, ""),
+        (9, b"<SCRIPT TYPE='x'>drop</SCRIPT>Keep<STYLE>s</STYLE>", "Keep"),
+        (10, b"<script>\nmulti\nline\n</script>after", "after"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in cases], "url long, html binary"
+    )
+    got = {r["url"]: r["text"] for r in extract_text(df).collect()}
+    assert got == {i: want for i, _, want in cases}
+
+
+def test_extract_text_invariant_on_pages_corpus(spark):
+    """North-rule per-row invariant: extraction over the synthetic
+    Common-Crawl-style pages corpus recovers the stored text column
+    byte-identically for EVERY url (BASELINE.json input_hint)."""
+    from jam_spark.corpus import generate_pages, pages_to_pandas
+    from jam_spark.ops.text import extract_text
+
+    pages = spark.createDataFrame(pages_to_pandas(generate_pages(1500)))
+    extracted = extract_text(pages).withColumnRenamed("text", "extracted")
+    joined = extracted.join(pages.select("url", "text"), "url")
+    n = joined.count()
+    assert n == pages.count()
+    assert (
+        joined.where("extracted IS DISTINCT FROM text").count() == 0
+    ), "extracted text must be byte-identical to the stored text per url"
+
+
+def test_extract_text_matches_duckdb(spark):
+    """extract_text parity vs DuckDB at sf0.001 over the deterministic
+    documents_as_pages wrapper (the driver re-checks at sf0.01):
+    identical regex engines' output byte-for-byte, incl. the entity
+    footer slice."""
+    import duckdb
+
+    from jam_spark.ops.text import (
+        documents_as_pages,
+        extract_text,
+        extract_text_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in extract_text(documents_as_pages(docs), key="doc_id").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = dict(con.sql(extract_text_sql()).fetchall())
+    assert got == want
+    assert all("<script" not in t and "{color:red}" not in t for t in got.values())
+    assert all(
+        "R&D <tag>" in t for k, t in got.items() if k % 4 == 0
+    ), "entity footer must decode on the %4 slice"
