@@ -626,12 +626,20 @@ def extract_text(pages: DataFrame, key: str = "url") -> DataFrame:
     Deliberately NOT a browser: no block-element newlines, no whitespace
     collapse — those would make the invariant depend on render policy.
     """
-    col = F.coalesce(F.decode(F.col("html"), "UTF-8"), F.lit(""))
+    return pages.select(key, html_text_col().alias("text"))
+
+
+def html_text_col(html_col: str = "html"):
+    """The frozen extraction as a reusable Column (see
+    :func:`extract_text` for the spec) — lets the dedup pipeline derive
+    ``text`` in the same map pass as the sketch when only ``html`` is
+    populated."""
+    col = F.coalesce(F.decode(F.col(html_col), "UTF-8"), F.lit(""))
     for pat in _HTML_STRIP_PATTERNS:
         col = F.regexp_replace(col, pat, "")
     for ent, ch in HTML_ENTITIES:
         col = F.replace(col, F.lit(ent), F.lit(ch))
-    return pages.select(key, col.alias("text"))
+    return col
 
 
 def documents_as_pages(documents: DataFrame) -> DataFrame:

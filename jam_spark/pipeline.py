@@ -179,9 +179,23 @@ def dedup_pipeline(
     params: SketchParams | None = None,
     dedup_exact_first: bool = True,
     broadcast_sketches: bool = False,
+    text_from_html: bool = False,
 ) -> DataFrame:
-    """Full pipeline: pages → (url, cluster_id)."""
+    """Full pipeline: pages → (url, cluster_id).
+
+    ``text_from_html=True`` derives ``text`` from the ``html`` binary
+    column with the frozen extraction spec (``ops.text.html_text_col``)
+    — for pages tables where only html is populated. The extraction is
+    a map-only expression folded into the same scan pass as the
+    fingerprint+sketch (no extra job, no shuffle), and it satisfies the
+    byte-identical-text-per-url invariant, so clusters equal a run over
+    pre-extracted text.
+    """
     params = params or SketchParams()
+    if text_from_html:
+        from .ops.text import html_text_col
+
+        pages = pages.withColumn("text", html_text_col())
     sketches, membership = sketch_stage(pages, params, dedup_exact_first)
     # sketches feed the band UDF and both sides of the verify join;
     # membership feeds rep_nodes and the final label join — persist both

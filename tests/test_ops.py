@@ -1247,3 +1247,25 @@ def test_extract_text_matches_duckdb(spark):
     assert all(
         "R&D <tag>" in t for k, t in got.items() if k % 4 == 0
     ), "entity footer must decode on the %4 slice"
+
+
+def test_pipeline_text_from_html_matches_text_run(spark):
+    """End-to-end north-star shape: the flagship pipeline run over a
+    pages table where only `html` is populated (text nulled out) with
+    text_from_html=True yields EXACTLY the clusters of the normal run —
+    extraction feeds shingling byte-identically."""
+    from pyspark.sql import functions as F
+
+    from jam_spark.corpus import generate_pages, pages_to_pandas
+    from jam_spark.pipeline import dedup_pipeline
+
+    pages = spark.createDataFrame(pages_to_pandas(generate_pages(400)))
+    want = {
+        r["url"]: r["cluster_id"] for r in dedup_pipeline(pages).collect()
+    }
+    html_only = pages.withColumn("text", F.lit(None).cast("string"))
+    got = {
+        r["url"]: r["cluster_id"]
+        for r in dedup_pipeline(html_only, text_from_html=True).collect()
+    }
+    assert got == want
