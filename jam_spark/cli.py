@@ -8,6 +8,7 @@
     python -m jam_spark.cli run     --input pages.parquet --root CKPT
     python -m jam_spark.cli ingest  --landing DIR --root CKPT
     python -m jam_spark.cli stats   --root CKPT            # ≅ jam stats
+    python -m jam_spark.cli extract --input pages.parquet --output text.pq
 
 On a cluster: ``spark-submit --py-files jam_spark_pkg.zip -m ...`` with
 the same flags. Sketch parameters mirror the reference's knobs
@@ -74,8 +75,23 @@ def main(argv: list[str] | None = None) -> int:
         if needs_input:
             sp.add_argument("--input", required=True,
                             help="pages parquet (url, text, ...)")
+            sp.add_argument("--from-html", action="store_true",
+                            help="derive text from the html binary column "
+                            "with the frozen extraction spec (map-side, "
+                            "same scan pass as the sketch)")
         if name != "stats":
             _add_params(sp)
+
+    sp = sub.add_parser(
+        "extract",
+        help="html -> text extraction (frozen spec; the north-rule "
+        "byte-identical-text-per-url stage) to a parquet sink",
+    )
+    sp.add_argument("--cores", type=int, default=None)
+    sp.add_argument("--input", required=True,
+                    help="pages parquet with an html binary column")
+    sp.add_argument("--output", required=True, help="output parquet path")
+    sp.add_argument("--key", default="url", help="id column to carry")
 
     sp = sub.add_parser(
         "ingest",
@@ -102,9 +118,21 @@ def main(argv: list[str] | None = None) -> int:
             ck = CheckpointedDedup(spark, args.root, params)
             print(json.dumps(ck.stats(), default=str))
             return 0
+        if args.cmd == "extract":
+            from .ops.text import extract_text
+
+            out = extract_text(spark.read.parquet(args.input), key=args.key)
+            out.write.mode("overwrite").parquet(args.output)
+            n = spark.read.parquet(args.output).count()
+            print(json.dumps({"stage": "extract", "rows": n}))
+            return 0
         ck = CheckpointedDedup(spark, args.root, _params(args))
         if args.cmd in ("sketch", "run"):
             pages = spark.read.parquet(args.input)
+            if args.from_html:
+                from .ops.text import html_text_col
+
+                pages = pages.withColumn("text", html_text_col())
         if args.cmd == "sketch":
             sk, _ = ck.run_sketches(pages)
             print(json.dumps({"stage": "sketches", "rows": sk.count()}))

@@ -80,3 +80,36 @@ def test_cli_ingest_drains_landing_zone(tmp_path):
     out = _run("ingest", "--landing", str(landing), "--root", root,
                "--cores", "4")
     assert out["n_pages"] == len(pdf)
+
+
+def test_cli_extract_and_from_html(tmp_path):
+    """extract writes (url, text) recovering the stored text
+    byte-identically; sketch --from-html clusters an html-only corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jam_spark.corpus import generate_pages, pages_to_pandas
+
+    pdf = pages_to_pandas(generate_pages(n_docs=60, seed=5))
+    # Spark's parquet reader rejects pandas' nanosecond timestamps
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us, UTC]")
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf), inp)
+
+    outp = str(tmp_path / "text.parquet")
+    out = _run("extract", "--input", inp, "--output", outp, "--cores", "4")
+    assert out["stage"] == "extract" and out["rows"] == len(pdf)
+    got = pq.read_table(outp).to_pandas().set_index("url")["text"]
+    want = pdf.set_index("url")["text"]
+    assert got.sort_index().equals(want.sort_index())
+
+    # html-only corpus (text column dropped entirely) through the full run
+    html_only = pdf.drop(columns=["text"])
+    inp2 = str(tmp_path / "pages_html.parquet")
+    pq.write_table(pa.Table.from_pandas(html_only), inp2)
+    out = _run(
+        "run", "--input", inp2, "--root", str(tmp_path / "ck"),
+        "--from-html", "--cores", "4",
+    )
+    assert out["stage"] == "clusters" and out["rows"] == len(pdf)
