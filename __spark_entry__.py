@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: dedup.dedup_size_histogram(_docs(s, d))
         ),
         "source_stats": q(lambda s, d: dedup.source_stats(_docs(s, d))),
+        # cross-source n-gram overlap matrix (data-mixing diagnostic)
+        "source_ngram_overlap": q(
+            lambda s, d: dedup.source_ngram_overlap(_docs(s, d))
+        ),
         # --- URL canonicalization dedup (synthetic url column — the
         #     testdata documents table has none; the SQL twin builds the
         #     identical strings, so the canonicalizer is value-checked) ---
@@ -201,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_report": dedup.dedup_report_sql(),
         "dedup_size_histogram": dedup.dedup_size_histogram_sql(),
         "source_stats": dedup.source_stats_sql(),
+        "source_ngram_overlap": dedup.source_ngram_overlap_sql(),
         "url_dedup_groups": dedup.url_dedup_groups_sql(),
         "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),

@@ -109,6 +109,7 @@ def main() -> None:
             lambda: dedup.url_dedup_groups(dedup.documents_with_urls(docs)),
         ),
         ("decontaminate", lambda: dedup.decontaminate(docs)),
+        ("source_ngram_overlap", lambda: dedup.source_ngram_overlap(docs)),
         (
             "line_dedup",
             lambda: dedup.line_dedup(dedup.documents_with_lines(docs)),

@@ -226,6 +226,126 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+
+def source_ngram_overlap(
+    documents: DataFrame, n: int = 3, max_sources: int = 256
+) -> DataFrame:
+    """(source_a, source_b, n_shared_grams, n_grams_a, n_grams_b,
+    jaccard) — the cross-source content-overlap matrix over distinct
+    word n-grams: the data-mixing diagnostic run before weighting
+    sources in a training mix (which domains republish each other's
+    content, how much of source B is already inside source A). One row
+    per unordered source pair sharing >= 1 eligible gram.
+
+    Skew/scale guard: a gram present in m sources emits C(m, 2) join
+    rows, and universal boilerplate reaches every domain on the web —
+    grams with source reach > ``max_sources`` carry no mixing signal
+    and are dropped from BOTH the shared counts and the per-source
+    vocabularies (the jaccard stays internally consistent under the
+    cap; same move as ngram_jaccard_pairs's ``max_df``). Join work is
+    bounded at O(n_grams x max_sources^2 / 2) at any corpus size, and
+    the output is C(n_sources, 2) rows — a driver-safe summary by
+    construction.
+
+    Plan shape: one distinct (source, gram) aggregate; the hot-gram
+    reach set is a broadcast anti-join; one repartition("gram") whose
+    exchange feeds the sizes aggregate and both self-join sides.
+    """
+    docs = _ensure_parallelism(documents)
+    # explode is per-doc distinct (array_distinct); the corpus-level
+    # distinct collapses same-source repeats so count(1) per gram below
+    # IS the gram's distinct-source reach
+    sg = docs.select(
+        "source", F.explode(_ngrams_col(n)).alias("gram")
+    ).distinct()
+    hot = (
+        sg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("reach"))
+        .filter(F.col("reach") > max_sources)
+        .select("gram")
+    )
+    grams = sg.join(F.broadcast(hot), "gram", "left_anti").repartition(
+        "gram"
+    )
+    sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    g1 = grams.select(F.col("source").alias("source_a"), "gram")
+    g2 = grams.select(F.col("source").alias("source_b"), "gram")
+    shared = (
+        g1.join(g2, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    out = (
+        shared.join(
+            sizes.select(
+                F.col("source").alias("source_a"), F.col("sz").alias("n_grams_a")
+            ),
+            "source_a",
+        )
+        .join(
+            sizes.select(
+                F.col("source").alias("source_b"), F.col("sz").alias("n_grams_b")
+            ),
+            "source_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared_grams").cast("double")
+            / (F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared_grams")),
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+        F.col("n_grams_a").cast("long").alias("n_grams_a"),
+        F.col("n_grams_b").cast("long").alias("n_grams_b"),
+        "jaccard",
+    )
+
+
+def source_ngram_overlap_sql(n: int = 3, max_sources: int = 256) -> str:
+    """DuckDB twin of :func:`source_ngram_overlap` (identical gram
+    extraction, reach cap, and one exact-integer division)."""
+    gram_expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+        WITH toks AS (
+          SELECT source, {_TOKENS} AS t FROM documents
+        ),
+        sg AS (
+          SELECT DISTINCT source, gram
+          FROM (
+            SELECT source,
+                   unnest([{gram_expr} for i in range(1, len(t) - {n - 2})]) AS gram
+            FROM toks WHERE len(t) >= {n}
+          )
+        ),
+        keep AS (
+          SELECT gram FROM sg GROUP BY gram HAVING count(*) <= {max_sources}
+        ),
+        grams AS (
+          SELECT g.source, g.gram FROM sg g JOIN keep USING (gram)
+        ),
+        sizes AS (SELECT source, count(*) AS sz FROM grams GROUP BY source),
+        shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared_grams
+          FROM grams a JOIN grams b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b,
+               s.n_shared_grams::BIGINT AS n_shared_grams,
+               sa.sz::BIGINT AS n_grams_a,
+               sb.sz::BIGINT AS n_grams_b,
+               s.n_shared_grams::DOUBLE
+                   / (sa.sz + sb.sz - s.n_shared_grams) AS jaccard
+        FROM shared s
+        JOIN sizes sa ON s.source_a = sa.source
+        JOIN sizes sb ON s.source_b = sb.source
+    """
+
+
 # ------------------------------------- benchmark decontamination (n-gram)
 
 def decontaminate(

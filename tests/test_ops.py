@@ -1269,3 +1269,76 @@ def test_pipeline_text_from_html_matches_text_run(spark):
         for r in dedup_pipeline(html_only, text_from_html=True).collect()
     }
     assert got == want
+
+
+def test_source_ngram_overlap_planted(spark):
+    """Planted 4-source corpus: the universal boilerplate gram (reach 4)
+    is dropped at max_sources=3 from numerators AND vocabularies; the
+    remaining overlap matrix is exact (A~D are full mirrors -> jaccard
+    1.0, C shares nothing eligible)."""
+    from jam_spark.ops.dedup import source_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "A"),
+            (2, "common boiler plate", "A"),
+            (3, "alpha beta gamma epsilon", "B"),
+            (4, "common boiler plate", "B"),
+            (5, "zeta eta theta iota", "C"),
+            (6, "common boiler plate", "C"),
+            (7, "alpha beta gamma delta", "D"),
+            (8, "common boiler plate", "D"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_grams"], r["n_grams_a"], r["n_grams_b"], r["jaccard"]
+        )
+        for r in source_ngram_overlap(docs, max_sources=3).collect()
+    }
+    assert got == {
+        ("A", "B"): (1, 2, 2, 1 / 3),
+        ("A", "D"): (2, 2, 2, 1.0),
+        ("B", "D"): (1, 2, 2, 1 / 3),
+    }
+    # uncapped: the boilerplate gram joins every vocabulary, C now
+    # overlaps everyone through it
+    got_all = {
+        (r["source_a"], r["source_b"]): (r["n_shared_grams"], r["jaccard"])
+        for r in source_ngram_overlap(docs, max_sources=256).collect()
+    }
+    assert len(got_all) == 6
+    assert got_all[("A", "C")] == (1, 1 / (3 + 3 - 1))
+    assert got_all[("A", "D")] == (3, 1.0)
+
+
+def test_source_ngram_overlap_matches_duckdb(spark):
+    """source_ngram_overlap parity vs DuckDB at sf0.001 (the driver
+    re-checks at sf0.01): full C(20,2) matrix, exact counts and
+    bit-equal jaccard."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        source_ngram_overlap,
+        source_ngram_overlap_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared_grams"], r["n_grams_a"], r["n_grams_b"], r["jaccard"]
+        )
+        for r in source_ngram_overlap(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.sql(source_ngram_overlap_sql()).fetchall()
+    }
+    assert got == want
+    assert len(got) == 190  # full 20-source matrix, non-vacuous
