@@ -87,6 +87,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.documents_with_urls(_docs(s, d))
             )
         ),
+        # re-crawl collapse: newest capture per canonical url (synthetic
+        # capture timestamps; doc_id%3==0 slice recrawled once)
+        "latest_snapshot": q(
+            lambda s, d: dedup.latest_snapshot(
+                dedup.documents_with_snapshots(_docs(s, d))
+            )
+        ),
         # --- html -> text extraction (north-rule per-row invariant stage)
         #     over the deterministic html wrapper (the testdata documents
         #     table has no html column; the SQL twin builds identical
@@ -207,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": dedup.source_stats_sql(),
         "source_ngram_overlap": dedup.source_ngram_overlap_sql(),
         "url_dedup_groups": dedup.url_dedup_groups_sql(),
+        "latest_snapshot": dedup.latest_snapshot_sql(),
         "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),
         "token_counts_bpe": text.token_counts_bpe_sql(),

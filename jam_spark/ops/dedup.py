@@ -1139,18 +1139,23 @@ _SYNTH_URL_SQL = """
 """
 
 
-def url_dedup_groups_sql(url_expr: str | None = None) -> str:
-    """DuckDB twin of :func:`url_dedup_groups` over
-    :func:`documents_with_urls`-shaped input. ``url_expr`` defaults to
-    the synthetic url builder; pass a column name to run the
-    canonicalizer over a real url column (the parity test does)."""
-    url_expr = url_expr or _SYNTH_URL_SQL
+def _canon_ctes_sql(
+    url_expr: str,
+    extra: dict[str, str] | None = None,
+    from_sql: str = "documents",
+) -> str:
+    """Shared DuckDB CTE chain ``pages → lowered → split → canon``
+    implementing the frozen canonicalization spec; ``extra`` maps output
+    column names to expressions over ``from_sql`` carried alongside the
+    url through every stage (used by :func:`latest_snapshot_sql`)."""
+    sel_extra = "".join(f", {e} AS {c}" for c, e in (extra or {}).items())
+    carry = "".join(f", {c}" for c in (extra or {}))
     return f"""
-        WITH pages AS (
-            SELECT doc_id, {url_expr} AS url FROM documents
+        pages AS (
+            SELECT {url_expr} AS url{sel_extra} FROM {from_sql}
         ),
         lowered AS (
-            SELECT url,
+            SELECT url{carry},
                    regexp_replace(
                        regexp_replace(
                            regexp_replace(lower(url), '#.*$', ''),
@@ -1159,7 +1164,7 @@ def url_dedup_groups_sql(url_expr: str | None = None) -> str:
             FROM pages
         ),
         split AS (
-            SELECT url,
+            SELECT url{carry},
                    regexp_replace(
                        CASE WHEN strpos(u, '?') > 0
                             THEN substr(u, 1, strpos(u, '?') - 1)
@@ -1170,22 +1175,129 @@ def url_dedup_groups_sql(url_expr: str | None = None) -> str:
             FROM lowered
         ),
         canon AS (
-            SELECT url,
+            SELECT url{carry},
                    base || CASE WHEN len(params) > 0
                                 THEN '?' || array_to_string(params, '&')
                                 ELSE '' END AS canonical_url
             FROM (
-                SELECT url, base,
+                SELECT url{carry}, base,
                        list_sort(list_filter(string_split(q, '&'),
                            p -> p <> '' AND NOT regexp_matches(p,
                                '{TRACKING_PARAM_RE}')))
                            AS params
                 FROM split
             )
-        )
+        )"""
+
+
+def url_dedup_groups_sql(url_expr: str | None = None) -> str:
+    """DuckDB twin of :func:`url_dedup_groups` over
+    :func:`documents_with_urls`-shaped input. ``url_expr`` defaults to
+    the synthetic url builder; pass a column name to run the
+    canonicalizer over a real url column (the parity test does)."""
+    url_expr = url_expr or _SYNTH_URL_SQL
+    return f"""
+        WITH {_canon_ctes_sql(url_expr)}
         SELECT canonical_url,
                count(*)::BIGINT AS n_urls,
                min(url) AS min_url
+        FROM canon GROUP BY canonical_url
+    """
+
+
+
+#: corpus epoch for the deterministic capture timestamps
+#: (2025-03-14T00:00:00Z as epoch seconds — BIGINT, engine-neutral: no
+#: timezone semantics can leak into the hash compare)
+SNAPSHOT_EPOCH = 1741910400
+
+
+#: re-crawl offset planted on the ``doc_id % 3 == 0`` slice (seconds)
+SNAPSHOT_RECRAWL_OFF = 1_000_000
+
+
+def documents_with_snapshots(documents: DataFrame) -> DataFrame:
+    """(doc_id, url, warc_ts) — the :func:`documents_with_urls`
+    derivation plus deterministic capture timestamps: every doc is
+    captured at ``epoch + doc_id``, and the ``doc_id % 3 == 0`` slice is
+    RE-crawled :data:`SNAPSHOT_RECRAWL_OFF` seconds later (same url,
+    later timestamp) — so the latest-capture choice is exercised on
+    genuine multi-capture groups and stays unambiguous (all timestamps
+    distinct) in both engines."""
+    offs = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.lit(0), F.lit(SNAPSHOT_RECRAWL_OFF)),
+    ).otherwise(F.array(F.lit(0)))
+    # explode is a generator — it gets its own projection, the timestamp
+    # arithmetic a second one (generators can't nest in expressions)
+    return (
+        documents_with_urls(documents)
+        .select("doc_id", "url", F.explode(offs).alias("_off"))
+        .select(
+            "doc_id",
+            "url",
+            (F.lit(SNAPSHOT_EPOCH) + F.col("doc_id") + F.col("_off"))
+            .cast("long")
+            .alias("warc_ts"),
+        )
+    )
+
+
+def latest_snapshot(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """(canonical_url, n_captures, latest_ts, latest_url) — re-crawl
+    collapse: Common-Crawl captures the same page in snapshot after
+    snapshot; a training pipeline keeps ONE capture per canonical url,
+    the newest. Key = the frozen :func:`canonical_url` spec, so scheme
+    case / tracking params / fragments don't split a page's history.
+
+    Scale shape: ONE map-side-combinable hash aggregate on the canonical
+    key — no window, no sort. A hot page with 10^6 recaptures collapses
+    to one partial per map task before the shuffle (``max`` over a
+    (ts, url) struct is associative; ties on ts break by larger url,
+    deterministic in one pass — the formulation ``max_by`` can't
+    guarantee under ties).
+    """
+    canon = canonical_url(F.col(url_col))
+    latest = F.max(
+        F.struct(F.col(ts_col).alias("ts"), F.col(url_col).alias("u"))
+    )
+    return (
+        pages.groupBy(canon.alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            latest.alias("_m"),
+        )
+        .select(
+            "canonical_url",
+            "n_captures",
+            F.col("_m.ts").alias("latest_ts"),
+            F.col("_m.u").alias("latest_url"),
+        )
+    )
+
+
+def latest_snapshot_sql(
+    url_expr: str | None = None, ts_expr: str | None = None
+) -> str:
+    """DuckDB twin of :func:`latest_snapshot` over
+    :func:`documents_with_snapshots`-shaped input (unique timestamps, so
+    ``arg_max(url, warc_ts)`` needs no tie rule)."""
+    url_expr = url_expr or _SYNTH_URL_SQL
+    ts_expr = ts_expr or f"({SNAPSHOT_EPOCH} + doc_id + off)::BIGINT"
+    from_sql = (
+        "(SELECT doc_id, source, unnest(CASE WHEN doc_id % 3 = 0 "
+        f"THEN [0, {SNAPSHOT_RECRAWL_OFF}] ELSE [0] END) AS off "
+        "FROM documents)"
+    )
+    ctes = _canon_ctes_sql(url_expr, {"warc_ts": ts_expr}, from_sql=from_sql)
+    return f"""
+        WITH {ctes}
+        SELECT canonical_url,
+               count(*)::BIGINT AS n_captures,
+               max(warc_ts)::BIGINT AS latest_ts,
+               arg_max(url, warc_ts) AS latest_url
         FROM canon GROUP BY canonical_url
     """
 

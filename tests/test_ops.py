@@ -1342,3 +1342,93 @@ def test_source_ngram_overlap_matches_duckdb(spark):
     }
     assert got == want
     assert len(got) == 190  # full 20-source matrix, non-vacuous
+
+
+def test_latest_snapshot_planted(spark):
+    """Re-crawl collapse semantics: canonicalization merges url variants
+    into one capture history; the newest capture wins; equal timestamps
+    break deterministically by larger url (the struct-max rule)."""
+    from jam_spark.ops.dedup import latest_snapshot
+
+    docs = spark.createDataFrame(
+        [
+            # one page, three captures via url VARIANTS (same canonical)
+            ("https://example.com/a", 100),
+            ("https://EXAMPLE.com/a#frag", 200),
+            ("https://www.example.com/a?utm_source=x", 300),
+            # a singleton
+            ("https://example.com/b", 50),
+            # a tie on ts: larger url string must win, deterministically
+            ("https://example.com/c?z=1", 77),
+            ("https://example.com/c?a=1", 77),
+        ],
+        "url string, warc_ts long",
+    )
+    got = {
+        r["canonical_url"]: (r["n_captures"], r["latest_ts"], r["latest_url"])
+        for r in latest_snapshot(docs).collect()
+    }
+    assert got == {
+        "https://example.com/a": (
+            3, 300, "https://www.example.com/a?utm_source=x"
+        ),
+        "https://example.com/b": (1, 50, "https://example.com/b"),
+        # ?z=1 and ?a=1 canonicalize apart (non-tracking params kept)
+        "https://example.com/c?z=1": (1, 77, "https://example.com/c?z=1"),
+        "https://example.com/c?a=1": (1, 77, "https://example.com/c?a=1"),
+    }
+    # genuine tie within ONE canonical group: same canonical, same ts
+    tie = spark.createDataFrame(
+        [
+            ("https://t.com/x?utm_source=a", 9),
+            ("https://T.com/x", 9),
+        ],
+        "url string, warc_ts long",
+    )
+    rows = latest_snapshot(tie).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_captures"] == 2
+    # max(struct(ts, url)) -> larger url string wins the tie
+    assert rows[0]["latest_url"] == "https://t.com/x?utm_source=a"
+
+
+def test_latest_snapshot_matches_duckdb(spark):
+    """latest_snapshot parity vs DuckDB at sf0.001 over the
+    documents_with_snapshots derivation (driver re-checks at sf0.01):
+    167 planted multi-capture groups, every one resolved to the recrawl
+    timestamp."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        SNAPSHOT_RECRAWL_OFF,
+        documents_with_snapshots,
+        latest_snapshot,
+        latest_snapshot_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        r["canonical_url"]: (r["n_captures"], r["latest_ts"], r["latest_url"])
+        for r in latest_snapshot(documents_with_snapshots(docs)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(latest_snapshot_sql()).fetchall()
+    }
+    assert got == want
+    from jam_spark.ops.dedup import SNAPSHOT_EPOCH
+
+    multi = {k: v for k, v in got.items() if v[0] > 1}
+    assert len(multi) > 0
+    # every multi-capture group is a planted %3==0 recrawl pair, and the
+    # chosen capture is the LATER one (epoch + doc_id + recrawl offset)
+    assert all(n == 2 for n, _, _ in multi.values())
+    assert all(
+        ts >= SNAPSHOT_EPOCH + SNAPSHOT_RECRAWL_OFF
+        for _, ts, _ in multi.values()
+    )
