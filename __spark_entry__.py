@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 dedup.documents_with_urls(_docs(s, d))
             )
         ),
+        # deterministic stratified sampling (training-mix rates by lang;
+        # full keep/drop decision table so the oracle checks every row)
+        "stratified_sample": q(
+            lambda s, d: dedup.stratified_sample(_docs(s, d))
+        ),
         # re-crawl collapse: newest capture per canonical url (synthetic
         # capture timestamps; doc_id%3==0 slice recrawled once)
         "latest_snapshot": q(
@@ -215,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "source_ngram_overlap": dedup.source_ngram_overlap_sql(),
         "url_dedup_groups": dedup.url_dedup_groups_sql(),
         "latest_snapshot": dedup.latest_snapshot_sql(),
+        "stratified_sample": dedup.stratified_sample_sql(),
         "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),
         "token_counts_bpe": text.token_counts_bpe_sql(),

@@ -1302,6 +1302,90 @@ def latest_snapshot_sql(
     """
 
 
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible training-mix rates)
+# --------------------------------------------------------------------------
+
+#: default per-stratum sampling rates for :func:`stratified_sample`
+#: (training-mix weights by language; frozen for the driver query)
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+
+
+def _hex_threshold(rate: float) -> str:
+    """Map a rate in [0, 1] to the 8-hex-digit threshold such that
+    ``substr(md5(key), 1, 8) < threshold`` keeps that fraction of a
+    uniform hash space. Lowercase-hex string comparison is
+    order-identical to the numeric comparison (both engines emit
+    lowercase md5), so no hex→int conversion has to agree across
+    engines. rate >= 1 returns 'g' (> every hex digit: keep all)."""
+    if rate >= 1.0:
+        return "g"
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    stratum_col: str = "lang",
+    salt: str = "s0",
+) -> DataFrame:
+    """(doc_id, stratum, bucket, keep) — DETERMINISTIC stratified
+    sampling, the reproducible data-mixing primitive: each doc's keep
+    decision is ``substr(md5(salt || doc_id), 1, 8) < threshold(rate)``
+    with a per-stratum rate (language weights in a training mix). Hash
+    sampling beats rand() at scale because the decision is a pure
+    function of (salt, doc_id): re-runs, resumed jobs, and different
+    partitionings all draw the SAME sample, and independent draws come
+    from changing ``salt`` — no RNG state, no seed-per-partition
+    coupling, no driver coordination. Map-only, zero shuffle.
+
+    The full decision table (kept AND dropped) is returned so the
+    oracle value-checks every decision, not just the survivor count.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(stratum_col).alias("stratum"),
+        bucket.alias("bucket"),
+        (bucket < thr).alias("keep"),
+    )
+
+
+def stratified_sample_sql(
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    stratum_col: str = "lang",
+    salt: str = "s0",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample` (same md5 bucket, same
+    frozen hex thresholds, same lexicographic comparison)."""
+    rates = SAMPLE_RATES if rates is None else rates
+    cases = "".join(
+        f"WHEN '{k}' THEN '{_hex_threshold(v)}' "
+        for k, v in sorted(rates.items())
+    )
+    return f"""
+        SELECT doc_id::BIGINT AS doc_id,
+               {stratum_col} AS stratum,
+               substr(md5('{salt}' || doc_id::VARCHAR), 1, 8) AS bucket,
+               substr(md5('{salt}' || doc_id::VARCHAR), 1, 8)
+                   < (CASE {stratum_col} {cases}
+                      ELSE '{_hex_threshold(default_rate)}' END) AS keep
+        FROM documents
+    """
+
+
 # --------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet / C4 / RefinedWeb boilerplate removal)
 # --------------------------------------------------------------------------

@@ -1432,3 +1432,72 @@ def test_latest_snapshot_matches_duckdb(spark):
         ts >= SNAPSHOT_EPOCH + SNAPSHOT_RECRAWL_OFF
         for _, ts, _ in multi.values()
     )
+
+
+def test_stratified_sample_semantics(spark):
+    """Deterministic hash sampling: same (salt, doc_id) -> same decision
+    across runs and partitionings; different salts draw independent
+    samples; per-stratum rates land within binomial tolerance; rate
+    edges (0 -> none, 1 -> all) behave."""
+    from jam_spark.ops.dedup import stratified_sample
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    rates = {"en": 0.5}
+    run1 = {
+        r["doc_id"]: r["keep"]
+        for r in stratified_sample(docs, rates, default_rate=0.1).collect()
+    }
+    run2 = {
+        r["doc_id"]: r["keep"]
+        for r in stratified_sample(
+            docs.repartition(17), rates, default_rate=0.1
+        ).collect()
+    }
+    assert run1 == run2  # partitioning-independent, rerun-stable
+    en_kept = sum(1 for d, k in run1.items() if k and d % 2 == 0)
+    xx_kept = sum(1 for d, k in run1.items() if k and d % 2 == 1)
+    assert abs(en_kept / 2000 - 0.5) < 0.05
+    assert abs(xx_kept / 2000 - 0.1) < 0.03
+    # independent draw under a different salt: overlap ~ rate^2, not rate
+    alt = {
+        r["doc_id"]: r["keep"]
+        for r in stratified_sample(
+            docs, rates, default_rate=0.1, salt="s1"
+        ).collect()
+    }
+    both = sum(1 for d in run1 if run1[d] and alt[d] and d % 2 == 0)
+    assert abs(both / 2000 - 0.25) < 0.05
+    # edges
+    none = stratified_sample(docs, {}, default_rate=0.0)
+    assert none.where("keep").count() == 0
+    allr = stratified_sample(docs, {}, default_rate=1.0)
+    assert allr.where("keep").count() == 4000
+
+
+def test_stratified_sample_matches_duckdb(spark):
+    """stratified_sample parity vs DuckDB at sf0.001: every keep/drop
+    decision and bucket hex equal (the driver re-checks at sf0.01)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import stratified_sample, stratified_sample_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: (r["stratum"], r["bucket"], r["keep"])
+        for r in stratified_sample(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.sql(stratified_sample_sql()).fetchall()
+    }
+    assert got == want
+    assert any(k for _, _, k in got.values())
+    assert any(not k for _, _, k in got.values())
