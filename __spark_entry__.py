@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- test-set decontamination (broadcast benchmark-gram probe;
         #     benchmark slice = doc_id % 97 == 3, deterministic in-corpus) ---
         "decontaminate": q(lambda s, d: dedup.decontaminate(_docs(s, d))),
+        # --- the full curation funnel: exact dedup -> quality gate ->
+        #     decontamination, one survivor-count row per stage ---
+        "training_funnel": q(
+            lambda s, d: dedup.training_funnel(_docs(s, d))
+        ),
         # --- corpus-level line dedup (CCNet/C4/RefinedWeb boilerplate
         #     removal) over the deterministic newline-structured derivation
         #     (the flat testdata text has no newlines; the SQL twin builds
@@ -232,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": text.quality_filter_sql(),
         "pii_profile": text.pii_profile_sql(),
         "decontaminate": dedup.decontaminate_sql(),
+        "training_funnel": dedup.training_funnel_sql(),
         "line_dedup": dedup.line_dedup_sql(),
         "boilerplate_lines": dedup.boilerplate_lines_sql(),
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs_sql(),

@@ -449,6 +449,155 @@ def decontaminate_sql(
     """
 
 
+# ----------------------------------------------------- training funnel
+
+def training_funnel(
+    documents: DataFrame, n: int = 4, modulus: int = 97, residue: int = 3,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """The training-mix funnel report: how many documents survive each
+    curation stage a pretraining pipeline chains, end to end —
+
+    1. ``exact_text_dedup``  — keep the min-doc_id representative per
+       exact text fingerprint (the :func:`exact_dedup_members` spec:
+       ``coalesce(md5(text), '<null>')``).
+    2. ``quality_filter``    — keep survivors the composite Gopher-ish
+       gate (:func:`jam_spark.ops.text.quality_filter`) marks ``keep``.
+    3. ``decontaminate``     — drop the held-out benchmark slice itself
+       (``doc_id % modulus == residue``) AND every training survivor
+       that shares an ``n``-gram with it (the :func:`decontaminate`
+       probe, same ``max_df`` boilerplate cap).
+
+    Output: one row per stage ``(stage_id, stage, docs_in, docs_out,
+    removed)`` — all counts BIGINT (hash-stable across engines).
+
+    Scale shape (the 100 TB plan): each stage contributes one narrow
+    per-doc flag — is-representative (fp-keyed map-side-combined min
+    aggregate + AQE-splittable equi-join, never a window), quality keep
+    (map-only), contaminated (broadcast bench-gram semi-join) — and the
+    whole funnel then collapses in ONE map-side-combinable aggregate
+    over the assembled flags frame; the three stage rows are unpacked
+    from that single aggregated row with an ``explode`` of literal
+    structs, so no count is a separate action and nothing but a
+    five-column frame ever shuffles. The stage semantics compose the
+    already-frozen specs, so each flag inherits its stage's oracle.
+    """
+    from .text import quality_filter
+
+    docs = _ensure_parallelism(documents)
+    key = F.coalesce(F.md5("text"), F.lit("<null>"))
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), key.alias("text_fp")
+    )
+    reps = base.groupBy("text_fp").agg(F.min("doc_id").alias("rep_id"))
+    qf = quality_filter(documents).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "keep"
+    )
+    cont = (
+        decontaminate(
+            documents, n=n, modulus=modulus, residue=residue, max_df=max_df
+        )
+        .select("doc_id")
+        .withColumn("contaminated", F.lit(1))
+    )
+    flags = (
+        base.join(reps, "text_fp")
+        .join(qf, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            (F.col("doc_id") == F.col("rep_id")).cast("int").alias("s1"),
+            F.coalesce(F.col("keep"), F.lit(0)).alias("k"),
+            F.when(
+                F.col("contaminated").isNull()
+                & ((F.col("doc_id") % modulus) != residue),
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("clean"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("total"),
+        F.coalesce(F.sum("s1"), F.lit(0)).cast("long").alias("n1"),
+        F.coalesce(F.sum(F.col("s1") * F.col("k")), F.lit(0))
+        .cast("long").alias("n2"),
+        F.coalesce(
+            F.sum(F.col("s1") * F.col("k") * F.col("clean")), F.lit(0)
+        ).cast("long").alias("n3"),
+    )
+
+    def stage(i: int, name: str, din: str, dout: str):
+        return F.struct(
+            F.lit(i).cast("long").alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.col(din).alias("docs_in"),
+            F.col(dout).alias("docs_out"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    stage(1, "exact_text_dedup", "total", "n1"),
+                    stage(2, "quality_filter", "n1", "n2"),
+                    stage(3, "decontaminate", "n2", "n3"),
+                )
+            ).alias("st")
+        )
+        .select("st.*")
+        .withColumn(
+            "removed", (F.col("docs_in") - F.col("docs_out")).cast("long")
+        )
+    )
+
+
+def training_funnel_sql(
+    n: int = 4, modulus: int = 97, residue: int = 3, max_df: int = 10_000
+) -> str:
+    from .text import quality_filter_sql
+
+    qf = quality_filter_sql()
+    ct = decontaminate_sql(n=n, modulus=modulus, residue=residue,
+                           max_df=max_df)
+    return f"""
+        WITH base AS (
+          SELECT doc_id::BIGINT AS doc_id,
+                 coalesce(md5(text), '<null>') AS text_fp
+          FROM documents
+        ),
+        reps AS (
+          SELECT text_fp, min(doc_id) AS rep_id FROM base GROUP BY text_fp
+        ),
+        qf AS (SELECT doc_id::BIGINT AS doc_id, keep FROM ({qf}) _qf),
+        cont AS (SELECT DISTINCT doc_id::BIGINT AS doc_id FROM ({ct}) _ct),
+        flags AS (
+          SELECT CASE WHEN b.doc_id = r.rep_id THEN 1 ELSE 0 END AS s1,
+                 coalesce(q.keep, 0) AS k,
+                 CASE WHEN c.doc_id IS NULL
+                           AND (b.doc_id % {modulus}) <> {residue}
+                      THEN 1 ELSE 0 END AS clean
+          FROM base b
+          JOIN reps r USING (text_fp)
+          JOIN qf q ON q.doc_id = b.doc_id
+          LEFT JOIN cont c ON c.doc_id = b.doc_id
+        ),
+        agg AS (
+          SELECT count(*)::BIGINT AS total,
+                 coalesce(sum(s1), 0)::BIGINT AS n1,
+                 coalesce(sum(s1 * k), 0)::BIGINT AS n2,
+                 coalesce(sum(s1 * k * clean), 0)::BIGINT AS n3
+          FROM flags
+        )
+        SELECT 1::BIGINT AS stage_id, 'exact_text_dedup' AS stage,
+               total AS docs_in, n1 AS docs_out,
+               (total - n1)::BIGINT AS removed FROM agg
+        UNION ALL
+        SELECT 2::BIGINT, 'quality_filter', n1, n2,
+               (n1 - n2)::BIGINT FROM agg
+        UNION ALL
+        SELECT 3::BIGINT, 'decontaminate', n2, n3,
+               (n2 - n3)::BIGINT FROM agg
+    """
+
+
 # ------------------------------------------- duplicated substring spans
 
 def substring_dup_spans(

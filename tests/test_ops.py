@@ -1501,3 +1501,67 @@ def test_stratified_sample_matches_duckdb(spark):
     assert got == want
     assert any(k for _, _, k in got.values())
     assert any(not k for _, _, k in got.values())
+
+
+def test_training_funnel_planted_semantics_and_duckdb_parity(spark):
+    """Planted corpus walking every funnel stage: doc 2 is an exact dup
+    of doc 1 (removed at stage 1), doc 5 is too short for the quality
+    gate (stage 2), doc 3 IS the benchmark slice (3 % 97 == 3) and doc
+    10 copies a 4-gram from it (both removed at stage 3); docs 1 and 6
+    survive the whole funnel."""
+    import duckdb
+
+    from jam_spark.ops.dedup import training_funnel, training_funnel_sql
+
+    text_a = "the quick brown fox jumps over the lazy dog again tonight"
+    rows = [
+        (1, text_a),
+        (2, text_a),  # exact dup of 1 -> dropped at stage 1 (rep = min id)
+        (3, "the gamma delta epsilon zeta words follow another pattern here now"),
+        (10, "x1 gamma delta epsilon zeta y1 the tail keeps going onward"),
+        (5, "too short"),  # fails quality R1 (n_tokens < 10)
+        (6, "the completely clean document keeps its own private vocabulary forever more"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in training_funnel(df).collect())
+    want = [
+        (1, "exact_text_dedup", 6, 5, 1),
+        (2, "quality_filter", 5, 4, 1),
+        (3, "decontaminate", 4, 2, 2),
+    ]
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT unnest(?) AS doc_id, "
+        "unnest(?) AS text",
+        [[r[0] for r in rows], [r[1] for r in rows]],
+    )
+    assert sorted(tuple(r) for r in con.sql(training_funnel_sql()).fetchall()) == want
+
+
+def test_training_funnel_sf_parity_and_plan(spark):
+    """Full-corpus parity at sf0.001 with driver defaults, plus the
+    scale-shape assertion from the docstring: the funnel must collapse
+    in hash aggregates + joins (no window, no cartesian) so every stage
+    count partial-aggregates map-side."""
+    import duckdb
+
+    from jam_spark.ops.dedup import training_funnel, training_funnel_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    out = training_funnel(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(tuple(r) for r in con.sql(training_funnel_sql()).fetchall())
+    assert got == want
+    # the funnel is monotone: docs_out <= docs_in per stage, chained
+    stages = {r[0]: r for r in got}
+    assert stages[1][2] >= stages[1][3] == stages[2][2] >= stages[2][3] == stages[3][2] >= stages[3][3]
