@@ -1536,6 +1536,158 @@ def stratified_sample_sql(
 
 
 # --------------------------------------------------------------------------
+# Training-mix token-budget planner
+# --------------------------------------------------------------------------
+
+#: frozen driver-query mix: total token budget and per-language weights
+#: in parts-per-million (sums to 1_000_000). 20k tokens against the
+#: ~28k-token test corpora puts `en` in the under-supplied regime
+#: (epochs > 1, shortfall > 0) and the others in the over-supplied one
+#: (keep_rate < 1), so both planner branches are value-checked.
+MIX_BUDGET_TOKENS = 20_000
+MIX_WEIGHTS_PPM = {
+    "en": 600_000, "de": 120_000, "fr": 120_000,
+    "es": 100_000, "zh": 60_000,
+}
+
+
+def mix_plan(
+    documents: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    weights_ppm: dict[str, int] | None = None,
+    default_ppm: int = 0,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Token-budget training-mix planner: given a total token budget and
+    per-stratum mix weights (parts-per-million — integer weights keep
+    every target exactly computable, no float accumulation), emit one
+    row per observed stratum with everything a sampling pass needs:
+
+    - ``n_docs`` / ``available_tokens`` — corpus supply (frozen
+      whitespace-token spec, same as :func:`~jam_spark.ops.text.token_counts`)
+    - ``target_tokens``  = floor(budget * ppm / 1e6), exact integer
+    - ``planned_tokens`` = min(target, available); ``shortfall_tokens``
+      = max(target - available, 0) — the under-supplied remainder that
+      only repeating data can fill
+    - ``epochs`` = ceil(target / available): how many passes over the
+      stratum the budget demands (1 = subsample, >1 = repeat, 0 = drop)
+    - ``keep_rate`` — per-epoch document keep fraction (token-mass and
+      doc sampling agree in expectation under doc-iid hash sampling)
+    - ``sample_threshold`` — the 8-hex-digit md5 threshold realising
+      ``keep_rate`` under :func:`stratified_sample`'s decision rule
+      ``substr(md5(salt || doc_id), 1, 8) < threshold``, so the plan
+      output IS the sampler's config: feed it straight back in.
+
+    Scale shape (100 TB): one map-only token count folded into the scan,
+    one map-side-combinable groupBy on a low-cardinality stratum key,
+    then constant-width per-stratum arithmetic — a single shuffle of
+    (n_strata x cores) partial rows, no data-sized exchange anywhere.
+    All cross-engine-checked columns are BIGINT or single IEEE-754
+    divisions of exact integers (deterministic, hash-stable).
+    """
+    weights_ppm = MIX_WEIGHTS_PPM if weights_ppm is None else weights_ppm
+    ppm = F.lit(default_ppm).cast("long")
+    tgt = F.lit(budget_tokens * default_ppm // 1_000_000).cast("long")
+    for stratum, w in sorted(weights_ppm.items()):
+        hit = F.col("stratum") == stratum
+        ppm = F.when(hit, F.lit(w).cast("long")).otherwise(ppm)
+        tgt = F.when(
+            hit, F.lit(budget_tokens * w // 1_000_000).cast("long")
+        ).otherwise(tgt)
+    agg = (
+        documents.select(
+            F.col(stratum_col).alias("stratum"),
+            F.size(_tokens_col()).cast("long").alias("n_tokens"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("available_tokens"),
+        )
+        .select("*", ppm.alias("weight_ppm"), tgt.alias("target_tokens"))
+    )
+    avail, target = F.col("available_tokens"), F.col("target_tokens")
+    rate = (
+        F.when(avail == 0, F.lit(0.0))
+        .when(target >= avail, F.lit(1.0))
+        .otherwise(target.cast("double") / avail.cast("double"))
+    )
+    return agg.select(
+        "stratum", "weight_ppm", "n_docs", "available_tokens",
+        "target_tokens",
+        F.least(target, avail).cast("long").alias("planned_tokens"),
+        F.greatest(target - avail, F.lit(0)).cast("long")
+        .alias("shortfall_tokens"),
+        F.when(avail == 0, F.lit(0))
+        .otherwise(F.floor((target + avail - 1) / avail))
+        .cast("long").alias("epochs"),
+        rate.alias("keep_rate"),
+        F.when(rate >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(F.hex(F.floor(rate * F.lit(float(16**8))))),
+                8, "0",
+            )
+        ).alias("sample_threshold"),
+    )
+
+
+def mix_plan_sql(
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    weights_ppm: dict[str, int] | None = None,
+    default_ppm: int = 0,
+    stratum_col: str = "lang",
+) -> str:
+    """DuckDB twin of :func:`mix_plan`: same frozen token spec, same
+    python-side-constant integer targets, same single IEEE divisions."""
+    weights_ppm = MIX_WEIGHTS_PPM if weights_ppm is None else weights_ppm
+    ppm_cases = "".join(
+        f"WHEN '{k}' THEN {v}::BIGINT "
+        for k, v in sorted(weights_ppm.items())
+    )
+    tgt_cases = "".join(
+        f"WHEN '{k}' THEN {budget_tokens * v // 1_000_000}::BIGINT "
+        for k, v in sorted(weights_ppm.items())
+    )
+    default_tgt = budget_tokens * default_ppm // 1_000_000
+    return f"""
+        WITH agg AS (
+          SELECT {stratum_col} AS stratum,
+                 count(*)::BIGINT AS n_docs,
+                 sum(len({_TOKENS}))::BIGINT AS available_tokens,
+                 (CASE {stratum_col} {ppm_cases}
+                  ELSE {default_ppm}::BIGINT END) AS weight_ppm,
+                 (CASE {stratum_col} {tgt_cases}
+                  ELSE {default_tgt}::BIGINT END) AS target_tokens
+          FROM documents GROUP BY 1, 4, 5
+        ),
+        rated AS (
+          SELECT *,
+                 (CASE WHEN available_tokens = 0 THEN 0.0
+                       WHEN target_tokens >= available_tokens THEN 1.0
+                       ELSE target_tokens::DOUBLE / available_tokens::DOUBLE
+                  END) AS keep_rate
+          FROM agg
+        )
+        SELECT stratum, weight_ppm, n_docs, available_tokens,
+               target_tokens,
+               least(target_tokens, available_tokens)::BIGINT
+                   AS planned_tokens,
+               greatest(target_tokens - available_tokens, 0)::BIGINT
+                   AS shortfall_tokens,
+               (CASE WHEN available_tokens = 0 THEN 0
+                     ELSE floor((target_tokens + available_tokens - 1)
+                                / available_tokens) END)::BIGINT AS epochs,
+               keep_rate,
+               (CASE WHEN keep_rate >= 1.0 THEN 'g'
+                     ELSE lpad(lower(to_hex(floor(keep_rate * {16**8}.0)
+                                            ::BIGINT)), 8, '0')
+                END) AS sample_threshold
+        FROM rated
+    """
+
+
+# --------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet / C4 / RefinedWeb boilerplate removal)
 # --------------------------------------------------------------------------
 

@@ -1503,6 +1503,82 @@ def test_stratified_sample_matches_duckdb(spark):
     assert any(not k for _, _, k in got.values())
 
 
+def test_mix_plan_planted_semantics(spark):
+    """Planted corpus exercising every planner regime: an over-supplied
+    stratum (subsample: keep_rate < 1, epochs 1), an under-supplied one
+    (repeat: keep_rate 1, epochs > 1, shortfall), an unweighted one
+    (target 0 -> epochs 0, threshold '00000000'), and an empty-text one
+    (available 0 -> everything 0). The emitted sample_threshold must
+    round-trip through stratified_sample's decision rule exactly."""
+    from jam_spark.ops.dedup import mix_plan, stratified_sample
+
+    # 40 docs of 10 tokens per stratum -> 400 available tokens each
+    tok10 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    rows = (
+        [(i, tok10, "big") for i in range(40)]
+        + [(100 + i, tok10, "tiny") for i in range(40)]
+        + [(200 + i, tok10, "none") for i in range(40)]
+        + [(300 + i, "", "empty") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    plan = {
+        r["stratum"]: r
+        for r in mix_plan(
+            df, budget_tokens=1000,
+            weights_ppm={"big": 100_000, "tiny": 800_000, "empty": 100_000},
+        ).collect()
+    }
+    big = plan["big"]  # target 100 of 400 -> subsample at 0.25
+    assert (big["target_tokens"], big["planned_tokens"],
+            big["shortfall_tokens"], big["epochs"]) == (100, 100, 0, 1)
+    assert big["keep_rate"] == 0.25
+    assert big["sample_threshold"] == format(int(0.25 * 16**8), "08x")
+    tiny = plan["tiny"]  # target 800 of 400 -> 2 epochs, 400 short
+    assert (tiny["target_tokens"], tiny["planned_tokens"],
+            tiny["shortfall_tokens"], tiny["epochs"]) == (800, 400, 400, 2)
+    assert (tiny["keep_rate"], tiny["sample_threshold"]) == (1.0, "g")
+    none = plan["none"]  # no weight -> dropped stratum
+    assert (none["weight_ppm"], none["target_tokens"], none["epochs"],
+            none["keep_rate"], none["sample_threshold"]) == (
+        0, 0, 0, 0.0, "00000000")
+    empty = plan["empty"]  # weighted but zero supply
+    assert (empty["available_tokens"], empty["planned_tokens"],
+            empty["epochs"], empty["keep_rate"]) == (0, 0, 0, 0.0)
+
+    # round-trip: the planner's threshold IS the sampler's config —
+    # feeding keep_rate back into stratified_sample draws the same
+    # sample the threshold describes (bucket < threshold, exactly)
+    sampled = stratified_sample(
+        df.where("lang = 'big'"), {"big": big["keep_rate"]}
+    ).collect()
+    for r in sampled:
+        assert r["keep"] == (r["bucket"] < big["sample_threshold"])
+
+
+def test_mix_plan_matches_duckdb(spark):
+    """mix_plan parity vs DuckDB at sf0.001 with driver defaults: every
+    BIGINT, IEEE keep_rate, and hex threshold bit-equal (the driver
+    re-checks at sf0.01)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import mix_plan, mix_plan_sql
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = sorted(
+        tuple(r) for r in mix_plan(spark.read.parquet(path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(tuple(r) for r in con.sql(mix_plan_sql()).fetchall())
+    assert got == want
+    # the frozen driver defaults must exercise BOTH regimes
+    by_stratum = {t[0]: t for t in got}
+    assert by_stratum["en"][7] > 1  # epochs: under-supplied
+    assert by_stratum["zh"][8] < 1.0  # keep_rate: over-supplied
+
+
 def test_training_funnel_planted_semantics_and_duckdb_parity(spark):
     """Planted corpus walking every funnel stage: doc 2 is an exact dup
     of doc 1 (removed at stage 1), doc 5 is too short for the quality
