@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic stratified sampling (training-mix rates by lang;
         # full keep/drop decision table so the oracle checks every row)
         "mix_plan": q(lambda s, d: dedup.mix_plan(_docs(s, d))),
+        "mix_report": q(lambda s, d: dedup.mix_report(_docs(s, d))),
         "stratified_sample": q(
             lambda s, d: dedup.stratified_sample(_docs(s, d))
         ),
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_groups": dedup.url_dedup_groups_sql(),
         "latest_snapshot": dedup.latest_snapshot_sql(),
         "mix_plan": dedup.mix_plan_sql(),
+        "mix_report": dedup.mix_report_sql(),
         "stratified_sample": dedup.stratified_sample_sql(),
         "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),

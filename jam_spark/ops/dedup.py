@@ -1687,6 +1687,108 @@ def mix_plan_sql(
     """
 
 
+def mix_report(
+    documents: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    weights_ppm: dict[str, int] | None = None,
+    default_ppm: int = 0,
+    stratum_col: str = "lang",
+    salt: str = "s0",
+) -> DataFrame:
+    """Plan → sample → audit, end to end: apply :func:`mix_plan`'s
+    per-stratum ``sample_threshold`` to every document under
+    :func:`stratified_sample`'s decision rule (``substr(md5(salt ||
+    doc_id), 1, 8) < threshold``) and report, per stratum, what the
+    realised sample actually delivers against the plan:
+
+    - ``kept_docs`` / ``achieved_tokens`` — what the hash sample drew
+    - ``planned_tokens`` — the planner's single-epoch expectation
+    - ``achieved_ratio`` — achieved / target (sampling is doc-iid on
+      token mass, so this audits both the threshold math and the
+      binomial wobble a real mix run ships with)
+
+    Scale shape (100 TB): the plan side is a handful of rows — it is
+    BROADCAST to the per-doc decision join (no shuffle of the corpus);
+    the audit is then one map-side-combinable groupBy on the stratum
+    key. The corpus is scanned twice (supply pass + decision pass),
+    both passes pruned to (doc_id, stratum, text); callers with an
+    already-materialised plan can skip the first scan by sampling with
+    :func:`stratified_sample` directly.
+    """
+    plan = mix_plan(
+        documents, budget_tokens=budget_tokens, weights_ppm=weights_ppm,
+        default_ppm=default_ppm, stratum_col=stratum_col,
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+    )
+    docs = documents.select(
+        F.col(stratum_col).alias("stratum"),
+        F.size(_tokens_col()).cast("long").alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    kept = F.col("bucket") < F.col("sample_threshold")
+    achieved, target = F.col("achieved_tokens"), F.col("target_tokens")
+    return (
+        docs.join(F.broadcast(plan), "stratum")
+        .groupBy(
+            "stratum", "target_tokens", "planned_tokens", "keep_rate"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept.cast("long")).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long").alias("achieved_tokens"),
+        )
+        .select(
+            "stratum", "n_docs", "kept_docs", "target_tokens",
+            "planned_tokens", "achieved_tokens", "keep_rate",
+            F.when(target == 0, F.lit(0.0))
+            .otherwise(achieved.cast("double") / target.cast("double"))
+            .alias("achieved_ratio"),
+        )
+    )
+
+
+def mix_report_sql(
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    weights_ppm: dict[str, int] | None = None,
+    default_ppm: int = 0,
+    stratum_col: str = "lang",
+    salt: str = "s0",
+) -> str:
+    """DuckDB twin of :func:`mix_report` (plan CTE = the mix_plan twin;
+    identical md5 bucket rule and integer-exact audit aggregates)."""
+    plan = mix_plan_sql(
+        budget_tokens=budget_tokens, weights_ppm=weights_ppm,
+        default_ppm=default_ppm, stratum_col=stratum_col,
+    )
+    return f"""
+        WITH plan AS ({plan}),
+        decided AS (
+          SELECT d.{stratum_col} AS stratum,
+                 len({_TOKENS}) AS n_tokens,
+                 p.target_tokens, p.planned_tokens, p.keep_rate,
+                 (substr(md5('{salt}' || d.doc_id::VARCHAR), 1, 8)
+                      < p.sample_threshold) AS kept
+          FROM documents d JOIN plan p ON p.stratum = d.{stratum_col}
+        )
+        SELECT stratum,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+               target_tokens, planned_tokens,
+               sum(CASE WHEN kept THEN n_tokens ELSE 0 END)::BIGINT
+                   AS achieved_tokens,
+               keep_rate,
+               (CASE WHEN target_tokens = 0 THEN 0.0
+                     ELSE sum(CASE WHEN kept THEN n_tokens ELSE 0 END)
+                          ::DOUBLE / target_tokens::DOUBLE END)
+                   AS achieved_ratio
+        FROM decided
+        GROUP BY stratum, target_tokens, planned_tokens, keep_rate
+    """
+
+
 # --------------------------------------------------------------------------
 # Corpus-level line dedup (CCNet / C4 / RefinedWeb boilerplate removal)
 # --------------------------------------------------------------------------

@@ -1579,6 +1579,54 @@ def test_mix_plan_matches_duckdb(spark):
     assert by_stratum["zh"][8] < 1.0  # keep_rate: over-supplied
 
 
+def test_mix_report_parity_invariants_and_plan(spark):
+    """mix_report parity vs DuckDB at sf0.001, the audit invariants
+    (keep-all strata achieve exactly their planned tokens; subsampled
+    strata achieve a strict subset; every kept decision replays
+    stratified_sample's rule), and the scale-shape assertion from the
+    docstring: the plan side joins BROADCAST — the corpus never
+    shuffles for the decision."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        mix_plan, mix_report, mix_report_sql, stratified_sample,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    rep = mix_report(docs)
+    got = sorted(tuple(r) for r in rep.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(tuple(r) for r in con.sql(mix_report_sql()).fetchall())
+    assert got == want
+
+    plan = {r["stratum"]: r for r in mix_plan(docs).collect()}
+    for (stratum, n_docs, kept, target, planned, achieved, rate,
+         ratio) in got:
+        p = plan[stratum]
+        assert (target, planned) == (
+            p["target_tokens"], p["planned_tokens"])
+        if rate == 1.0:  # keep-all: audit equals the plan exactly
+            assert kept == n_docs and achieved == planned
+        else:  # subsample: strictly fewer docs, wobble around planned
+            assert 0 < kept < n_docs
+            assert ratio == achieved / target
+        # replay: the kept counts equal stratified_sample under the
+        # planner's keep_rate for this stratum
+        s = stratified_sample(
+            docs.where(F.col("lang") == stratum), {stratum: p["keep_rate"]}
+        )
+        assert s.where("keep").count() == kept
+
+    # scale shape: plan side broadcast, no corpus-sized shuffle join
+    explained = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained
+    assert "SortMergeJoin" not in explained
+
+
 def test_training_funnel_planted_semantics_and_duckdb_parity(spark):
     """Planted corpus walking every funnel stage: doc 2 is an exact dup
     of doc 1 (removed at stage 1), doc 5 is too short for the quality
