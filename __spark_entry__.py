@@ -94,6 +94,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q(
             lambda s, d: dedup.stratified_sample(_docs(s, d))
         ),
+        # token-balanced output shards (the training-mix sink step):
+        # two-phase global prefix sum — range partition + per-partition
+        # offsets — never a single-partition window
+        "shard_plan": q(lambda s, d: dedup.shard_plan(_docs(s, d))),
+        "shard_manifest": q(lambda s, d: dedup.shard_manifest(_docs(s, d))),
         # re-crawl collapse: newest capture per canonical url (synthetic
         # capture timestamps; doc_id%3==0 slice recrawled once)
         "latest_snapshot": q(
@@ -230,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
         "mix_plan": dedup.mix_plan_sql(),
         "mix_report": dedup.mix_report_sql(),
         "stratified_sample": dedup.stratified_sample_sql(),
+        "shard_plan": dedup.shard_plan_sql(),
+        "shard_manifest": dedup.shard_manifest_sql(),
         "extract_text": text.extract_text_sql(),
         "token_counts": text.token_counts_sql(),
         "token_counts_bpe": text.token_counts_bpe_sql(),

@@ -2021,3 +2021,166 @@ def boilerplate_lines_sql(
         GROUP BY line
         HAVING count(DISTINCT doc_id) >= {min_docs}
     """
+
+
+# --------------------------------------------------------------------------
+# Token-balanced output shards (the training-mix sink step)
+# --------------------------------------------------------------------------
+
+#: frozen driver-query shard size: small enough that the ~28k-token test
+#: corpus spans several shards (boundary logic value-checked), large
+#: enough that most shards hold many documents.
+SHARD_TOKENS = 4_000
+SHARD_SALT = "shard0"
+
+
+def shard_plan(
+    documents: DataFrame,
+    tokens_per_shard: int = SHARD_TOKENS,
+    salt: str = SHARD_SALT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens, start_offset, shard_id) — assign every
+    document to a fixed-token-budget output shard, the last step before
+    a training run: writers consume the plan with
+    ``.write.partitionBy("shard_id")`` and each shard lands within one
+    document of ``tokens_per_shard`` tokens.
+
+    Semantics (exactly what the SQL twin computes): order docs by the
+    deterministic hash key ``substr(md5(salt || doc_id), 1, 8)`` (ties by
+    doc_id) — a reproducible global shuffle, so consecutive docs in a
+    shard are unrelated — then ``start_offset`` = exclusive prefix sum of
+    ``n_tokens`` (frozen whitespace-token spec, same as token_counts) in
+    that order, and ``shard_id = start_offset DIV tokens_per_shard``.
+    A doc straddling a boundary belongs to the shard it starts in.
+
+    Scale shape (100 TB): a global ordered prefix sum with NO
+    single-partition window. Two-phase: (1) ``repartitionByRange`` on the
+    hash key — non-overlapping, ordered partitions — then one row per
+    PARTITION (not per doc) is aggregated to the driver and prefix-summed
+    there (``num_partitions`` rows; at 10k partitions that is 10k rows,
+    corpus-independent); (2) the per-partition offsets broadcast-join
+    back and a window partitioned BY PARTITION ID computes the local
+    cumsum, so every window group is one bounded range partition.
+    Integer arithmetic end to end (BIGINT DIV) — hash-stable across
+    engines, no float accumulation.
+    """
+    spark = documents.sparkSession
+    if num_partitions is None:
+        num_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    tok = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+            1, 8,
+        ).alias("bucket"),
+        F.size(_tokens_col()).cast("long").alias("n_tokens"),
+    )
+    parts = track(
+        tok.repartitionByRange(num_partitions, "bucket", "doc_id")
+        .sortWithinPartitions("bucket", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in parts.groupBy("pid").agg(
+            F.sum("n_tokens").alias("t")
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((int(pid), int(acc)))
+        acc += totals[pid]
+    off_df = spark.createDataFrame(
+        offsets, schema="pid int, part_offset long"
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("pid")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "start_offset",
+            (
+                F.sum("n_tokens").over(w)
+                + F.col("part_offset")
+                - F.col("n_tokens")
+            ).cast("long"),
+        )
+        .select(
+            "doc_id", "bucket", "n_tokens", "start_offset",
+            F.expr(
+                f"CAST(start_offset DIV {int(tokens_per_shard)} AS BIGINT)"
+            ).alias("shard_id"),
+        )
+    )
+
+
+def shard_plan_sql(
+    tokens_per_shard: int = SHARD_TOKENS, salt: str = SHARD_SALT
+) -> str:
+    """DuckDB twin of :func:`shard_plan` — the single ordered window the
+    two-phase Spark plan is provably equal to (range partitions are
+    non-overlapping and ordered, so partition-offset + local cumsum ==
+    the global cumsum)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id::BIGINT AS doc_id,
+                 substr(md5('{salt}' || doc_id::VARCHAR), 1, 8) AS bucket,
+                 len({_TOKENS})::BIGINT AS n_tokens
+          FROM documents
+        ),
+        cum AS (
+          SELECT *,
+                 (sum(n_tokens) OVER (ORDER BY bucket, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens)::BIGINT AS start_offset
+          FROM tok
+        )
+        SELECT doc_id, bucket, n_tokens, start_offset,
+               (start_offset // {int(tokens_per_shard)})::BIGINT AS shard_id
+        FROM cum
+    """
+
+
+def shard_manifest(
+    documents: DataFrame,
+    tokens_per_shard: int = SHARD_TOKENS,
+    salt: str = SHARD_SALT,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(shard_id, n_docs, shard_tokens, start_offset) — the per-shard
+    audit of :func:`shard_plan`: how many docs and tokens each shard
+    holds and where it starts on the global token line. Every shard
+    except the last overshoots its right boundary by at most one
+    document (the straddler is assigned to the shard it starts in), so
+    ``shard_tokens`` is within one max-doc-length of ``tokens_per_shard``
+    — the invariant the tests pin. Scale shape: the plan's shuffle plus
+    one map-side-combinable groupBy on a low-cardinality shard key."""
+    plan = shard_plan(documents, tokens_per_shard, salt, num_partitions)
+    return plan.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        F.min("start_offset").cast("long").alias("start_offset"),
+    )
+
+
+def shard_manifest_sql(
+    tokens_per_shard: int = SHARD_TOKENS, salt: str = SHARD_SALT
+) -> str:
+    """DuckDB twin of :func:`shard_manifest`."""
+    return f"""
+        WITH plan AS ({shard_plan_sql(tokens_per_shard, salt)})
+        SELECT shard_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n_tokens)::BIGINT AS shard_tokens,
+               min(start_offset)::BIGINT AS start_offset
+        FROM plan
+        GROUP BY shard_id
+    """

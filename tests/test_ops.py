@@ -1689,3 +1689,75 @@ def test_training_funnel_sf_parity_and_plan(spark):
     # the funnel is monotone: docs_out <= docs_in per stage, chained
     stages = {r[0]: r for r in got}
     assert stages[1][2] >= stages[1][3] == stages[2][2] >= stages[2][3] == stages[3][2] >= stages[3][3]
+
+
+def test_shard_plan_matches_duckdb_and_straddler_invariant(spark):
+    """shard_plan / shard_manifest parity vs the single-window DuckDB
+    oracle at sf0.001 (the driver re-checks at sf0.01), plus the
+    balance invariants the two-phase prefix sum must preserve:
+    shard ids are contiguous from 0, every token is assigned exactly
+    once, and every non-final shard's documents extend past its right
+    boundary (the straddling doc belongs to the shard it STARTS in, so
+    a shard under-fills by at most one document)."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        SHARD_TOKENS,
+        shard_manifest,
+        shard_manifest_sql,
+        shard_plan,
+        shard_plan_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    got = sorted(tuple(r) for r in shard_plan(docs).collect())
+    want = sorted(tuple(r) for r in con.sql(shard_plan_sql()).fetchall())
+    assert got == want
+
+    man = sorted(tuple(r) for r in shard_manifest(docs).collect())
+    want_man = sorted(
+        tuple(r) for r in con.sql(shard_manifest_sql()).fetchall()
+    )
+    assert man == want_man
+
+    # contiguous ids; token conservation
+    ids = [r[0] for r in man]
+    assert ids == list(range(len(ids)))
+    assert sum(r[2] for r in man) == sum(r[2] for r in got)
+
+    # straddler invariant: docs of every non-final shard reach past the
+    # shard's right boundary on the global token line
+    end_by_shard = {}
+    for _doc, _b, n_tok, start, shard in got:
+        end_by_shard[shard] = max(end_by_shard.get(shard, 0), start + n_tok)
+    last = max(end_by_shard)
+    for shard, end in end_by_shard.items():
+        if shard != last:
+            assert end >= (shard + 1) * SHARD_TOKENS
+
+    # deterministic under a different input partitioning
+    got2 = sorted(
+        tuple(r) for r in shard_plan(docs.repartition(13)).collect()
+    )
+    assert got2 == got
+
+
+def test_shard_plan_has_no_single_partition_exchange(spark):
+    """The 100x guard: the prefix sum must never route the corpus
+    through one partition. The physical plan's only allowed exchanges
+    are the range partition, the pid hash partition for the local
+    window, and the broadcast of the num_partitions-row offset table."""
+    from jam_spark.ops.dedup import shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = shard_plan(docs)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in explained
+    assert "rangepartitioning" in explained.lower()
+    assert "BroadcastExchange" in explained or "BroadcastHashJoin" in explained
