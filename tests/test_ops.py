@@ -1747,6 +1747,10 @@ def test_shard_plan_matches_duckdb_and_straddler_invariant(spark):
     )
     assert got2 == got
 
+    from jam_spark._persist import release_all
+
+    release_all()
+
 
 def test_shard_plan_has_no_single_partition_exchange(spark):
     """The 100x guard: the prefix sum must never route the corpus
@@ -1761,3 +1765,7 @@ def test_shard_plan_has_no_single_partition_exchange(spark):
     assert "SinglePartition" not in explained
     assert "rangepartitioning" in explained.lower()
     assert "BroadcastExchange" in explained or "BroadcastHashJoin" in explained
+
+    from jam_spark._persist import release_all
+
+    release_all()
