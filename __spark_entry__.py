@@ -49,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from jam_spark.ops import dedup, multimodal, similarity, text
+    from jam_spark.ops import dedup, multimodal, similarity, suffix, text
     from jam_spark.params import SketchParams
 
     def q(fn):
@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_mirror_groups": q(
             lambda s, d: dedup.simhash_mirror_groups(_docs(s, d))
         ),
+        # suffix-array substring dedup (the third north-rule family):
+        # distributed prefix doubling, maximal match lengths
+        "suffix_array": q(lambda s, d: suffix.suffix_array(_docs(s, d))),
+        "sa_dup_spans": q(lambda s, d: suffix.sa_dup_spans(_docs(s, d))),
         "substring_dup_spans": q(
             lambda s, d: dedup.substring_dup_spans(_docs(s, d))
         ),
@@ -221,7 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from jam_spark.ops import dedup, multimodal, similarity, text
+    from jam_spark.ops import dedup, multimodal, similarity, suffix, text
 
     return {
         "exact_dedup_groups": dedup.exact_dedup_groups_sql(),
@@ -256,6 +260,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs_sql(),
         "simhash_mirror_groups": dedup.simhash_mirror_groups_sql(),
         "substring_dup_spans": dedup.substring_dup_spans_sql(),
+        "suffix_array": suffix.suffix_array_sql(),
+        "sa_dup_spans": suffix.sa_dup_spans_sql(),
         "media_features": multimodal.media_features_sql(),
         "cosine_topk": similarity.cosine_topk_sql(),
         "cosine_dup_pairs": similarity.cosine_dup_pairs_sql(threshold=0.35),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _TRACKED: list[DataFrame] = []
+_TRACKED_CKPT: list[DataFrame] = []
 
 
 def track(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -33,13 +34,43 @@ def track(df: DataFrame, eager: bool = False) -> DataFrame:
     return df
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Drop the block store behind a ``localCheckpoint()``-ed DataFrame.
+    ``DataFrame.unpersist()`` is a no-op for these: the blocks belong to
+    the internal LogicalRDD, not the cache manager, so iterative
+    algorithms that cut lineage every round would otherwise leak one
+    corpus-sized RDD per round for the session's lifetime. Safe on
+    reliable checkpoints (file-backed; the unpersist is a no-op) and on
+    anything else (falls back to plain unpersist)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+        else:
+            df.unpersist()
+    except Exception:
+        pass
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-checkpointed DataFrame (local or reliable)
+    whose blocks must outlive the creating function — the returned plan
+    still reads them lazily — for the next ``release_all()``."""
+    with _LOCK:
+        _TRACKED_CKPT.append(df)
+    return df
+
+
 def release_all() -> int:
-    """Unpersist every tracked DataFrame; returns how many were freed.
-    Safe to call at any time — results already materialized are
-    unaffected; lazily re-executing a released DataFrame just recomputes."""
+    """Unpersist every tracked DataFrame (persists AND checkpoint
+    blocks); returns how many were freed. Safe to call at any time —
+    results already materialized are unaffected; lazily re-executing a
+    released DataFrame just recomputes."""
     with _LOCK:
         dfs = _TRACKED[:]
         _TRACKED.clear()
+        ckpts = _TRACKED_CKPT[:]
+        _TRACKED_CKPT.clear()
     n = 0
     for df in dfs:
         try:
@@ -47,4 +78,7 @@ def release_all() -> int:
             n += 1
         except Exception:
             pass
+    for df in ckpts:
+        free_local_checkpoint(df)
+        n += 1
     return n

@@ -136,6 +136,8 @@ def _cc_distributed(
     max_iter: int,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
+    from ._persist import free_local_checkpoint, track_checkpoint
+
     spark = e0.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -203,7 +205,16 @@ def _cc_distributed(
             .limit(1)
             .count()
         )
+        # the changed-compare was the old cut's last consumer — drop its
+        # blocks now (DataFrame.unpersist is a no-op on localCheckpoint
+        # blocks; without this every iteration leaks a label-set-sized
+        # RDD for the session's lifetime)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    # `e` feeds nothing downstream of the returned labels; the returned
+    # cut itself must outlive this function — register it for the
+    # caller's release_all()
+    free_local_checkpoint(e)
+    return track_checkpoint(labels)

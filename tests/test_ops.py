@@ -1769,3 +1769,94 @@ def test_shard_plan_has_no_single_partition_exchange(spark):
     from jam_spark._persist import release_all
 
     release_all()
+
+
+def test_suffix_array_matches_duckdb(spark):
+    """suffix_array / sa_dup_spans parity vs the single-window DuckDB
+    oracle at sf0.001 (the driver re-checks at sf0.01), plus structural
+    invariants: sa_rank is a permutation of 1..n_suffixes and every doc
+    contributes exactly len(tokens) positions."""
+    import duckdb
+
+    from jam_spark._persist import release_all
+    from jam_spark.ops.suffix import (
+        sa_dup_spans,
+        sa_dup_spans_sql,
+        suffix_array,
+        suffix_array_sql,
+    )
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+
+    got = sorted(tuple(r) for r in suffix_array(docs).collect())
+    want = sorted(tuple(r) for r in con.sql(suffix_array_sql()).fetchall())
+    assert got == want
+    ranks = sorted(r[2] for r in got)
+    assert ranks == list(range(1, len(got) + 1))  # permutation
+
+    spans = sorted(tuple(r) for r in sa_dup_spans(docs).collect())
+    want_spans = sorted(
+        tuple(r) for r in con.sql(sa_dup_spans_sql()).fetchall()
+    )
+    assert spans == want_spans
+    assert len(spans) > 0  # sf0.001 plants exact-dup docs
+
+    release_all()
+
+
+def test_sa_dup_spans_planted_maximal_match(spark):
+    """The suffix-array path's value over fixed-window hashing: the
+    reported lcp is the MAXIMAL match length. Two docs sharing exactly a
+    12-token run (and nothing longer) must yield an adjacent pair with
+    lcp == 12; a third unrelated doc must not pair with them."""
+    from jam_spark._persist import release_all
+    from jam_spark.ops.suffix import sa_dup_spans
+
+    shared = " ".join(f"tok{i:02d}" for i in range(12))
+    rows = [
+        (1, f"alpha bravo {shared} charlie"),
+        (2, f"delta {shared} echo foxtrot"),
+        (3, "golf hotel india juliet kilo lima mike november"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = sa_dup_spans(docs, min_len=12).collect()
+    touching = [
+        r
+        for r in pairs
+        if {r["doc_a"], r["doc_b"]} == {1, 2} and r["lcp"] == 12
+    ]
+    assert touching, pairs
+    assert all(3 not in (r["doc_a"], r["doc_b"]) for r in pairs)
+    # the shared run starts at token 3 of doc 1 and token 2 of doc 2
+    # (1-based), whichever side of the adjacency it lands on
+    pos = {(r["doc_a"], r["pos_a"]) for r in touching} | {
+        (r["doc_b"], r["pos_b"]) for r in touching
+    }
+    assert (1, 3) in pos and (2, 2) in pos
+
+    release_all()
+
+
+def test_suffix_array_leaves_no_persisted_blocks(spark):
+    """The prefix-doubling loop cuts lineage with localCheckpoint every
+    round; each round's blocks (and the cached exchanges) must be freed
+    as the next round materializes — an iterative operator must not
+    leak one corpus-sized RDD per round into a long-lived session."""
+    from jam_spark._persist import release_all
+    from jam_spark.ops.suffix import suffix_array
+
+    def persisted_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_all()
+    before = persisted_ids()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    suffix_array(docs).collect()
+    release_all()
+    assert persisted_ids() <= before
