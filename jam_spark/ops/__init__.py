@@ -1,7 +1,8 @@
 """Training-data pipeline operators beyond the reference's own surface:
-dedup variants (exact, minhash-LSH, simhash, n-gram jaccard, embedding),
-text analysis (token stats, quality, language-ID, fingerprints),
-similarity search, and multimodal column plumbing.
+dedup variants (exact, minhash-LSH, simhash, n-gram jaccard, suffix
+array, embedding), text analysis (token stats, quality, language-ID,
+fingerprints), curation (sampling, mix planning, token-balanced output
+shards), similarity search, and multimodal column plumbing.
 
 Each SQL-expressible operator ships BOTH a Spark implementation and a
 DuckDB-runnable ANSI-SQL twin with byte-identical semantics (same
