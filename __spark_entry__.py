@@ -122,6 +122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_profile": q(lambda s, d: text.lang_profile(_docs(s, d))),
         "lang_id": q(lambda s, d: text.lang_id(_docs(s, d))),
         "doc_fingerprint": q(lambda s, d: text.doc_fingerprint(_docs(s, d))),
+        # winnowing fingerprints (SIGMOD'03/MOSS: map-only selection)
+        # + the capped inverted-index dup-pair join over them
+        "winnow_fingerprints": q(
+            lambda s, d: text.winnow_fingerprints(_docs(s, d))
+        ),
+        "winnow_dup_pairs": q(
+            lambda s, d: dedup.winnow_dup_pairs(_docs(s, d))
+        ),
         "repetition_profile": q(
             lambda s, d: text.repetition_profile(_docs(s, d))
         ),
@@ -248,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_profile": text.lang_profile_sql(),
         "lang_id": text.lang_id_sql(),
         "doc_fingerprint": text.doc_fingerprint_sql(),
+        "winnow_fingerprints": text.winnow_fingerprints_sql(),
+        "winnow_dup_pairs": dedup.winnow_dup_pairs_sql(),
         "repetition_profile": text.repetition_profile_sql(),
         "quality_filter": text.quality_filter_sql(),
         "pii_profile": text.pii_profile_sql(),

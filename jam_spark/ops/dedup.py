@@ -2184,3 +2184,111 @@ def shard_manifest_sql(
         FROM plan
         GROUP BY shard_id
     """
+
+
+def winnow_dup_pairs(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs from shared winnowing fingerprints
+    (Schleimer et al. SIGMOD'03 — the MOSS dup detector; see the frozen
+    selection spec on :func:`jam_spark.ops.text.winnow_fingerprints`):
+    ``(doc_a, doc_b, n_shared, n_a, n_b, overlap)`` for every pair
+    sharing >= ``min_shared`` distinct selected fingerprints, where
+    ``overlap = n_shared / least(n_a, n_b)`` (containment — winnowing's
+    guarantee is per shared RUN, so containment, not Jaccard, is the
+    natural score: a page fully embedded in a larger page scores 1.0
+    up to selection noise).
+
+    Scale shape (100 TB lens): identical to the capped inverted-index
+    join of :func:`ngram_jaccard_pairs`, but over the ~2/(w+1)-density
+    winnowed postings instead of ALL grams — the same pair signal for
+    shared runs >= w+k-1 tokens at a fraction of the exchange bytes.
+    A fingerprint selected by > ``max_df`` docs (boilerplate) is
+    dropped from the numerator AND both denominators (df from a
+    map-side-combined aggregate, hot set broadcast), bounding join work
+    at O(n_fps x max_df^2 / 2). The SQL oracle applies the identical
+    cap, so parity holds at every scale.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(documents, k=k, w=w).select(
+        "doc_id", "fp"
+    ).distinct()
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    # one exchange on the join key feeds the sizes aggregate and both
+    # self-join sides (same reused-exchange shape as ngram_jaccard_pairs)
+    kept = fps.join(F.broadcast(hot), "fp", "left_anti").repartition("fp")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    p1 = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    p2 = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        p1.join(p2, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            F.col("doc_a").cast("long"),
+            F.col("doc_b").cast("long"),
+            F.col("n_shared").cast("long"),
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b")
+            ).alias("overlap"),
+        )
+    )
+
+
+def winnow_dup_pairs_sql(
+    k: int = 4, w: int = 4, min_shared: int = 2, max_df: int = 1000
+) -> str:
+    """DuckDB twin of :func:`winnow_dup_pairs` (identical winnowing
+    selection via ops.text.winnow_fingerprints_sql, identical hot-fp
+    cap and containment score)."""
+    from .text import winnow_fingerprints_sql
+
+    return f"""
+        WITH fps0 AS (
+          SELECT DISTINCT doc_id, fp
+          FROM ({winnow_fingerprints_sql(k=k, w=w)})
+        ),
+        keep AS (
+          SELECT fp FROM fps0 GROUP BY fp HAVING count(*) <= {max_df}
+        ),
+        fps AS (SELECT f.doc_id, f.fp FROM fps0 f JOIN keep USING (fp)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+          HAVING count(*) >= {min_shared}
+        )
+        SELECT s.doc_a::BIGINT AS doc_a, s.doc_b::BIGINT AS doc_b,
+               s.n_shared::BIGINT AS n_shared,
+               sa.sz::BIGINT AS n_a, sb.sz::BIGINT AS n_b,
+               s.n_shared::DOUBLE / least(sa.sz, sb.sz) AS overlap
+        FROM shared s
+        JOIN sizes sa ON sa.doc_id = s.doc_a
+        JOIN sizes sb ON sb.doc_id = s.doc_b
+    """

@@ -705,3 +705,105 @@ def extract_text_sql(key: str = "doc_id", html_expr: str | None = None) -> str:
         lit = "chr(160)" if ch == " " else "'" + ch.replace("'", "''") + "'"
         col = f"replace({col}, '{ent}', {lit})"
     return f"SELECT {key}, {col} AS text FROM documents"
+
+
+#: frozen winnowing spec (Schleimer, Wilkerson & Aiken, "Winnowing:
+#: Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the
+#: MOSS fingerprinting scheme; reference analogue: jam-rs's per-record
+#: sketch-select loop, src/sketcher.rs:103-162, which likewise selects
+#: a deterministic subset of per-shingle hashes):
+#:   tokens    := the corpus token spec (_TOKENS / _tokens_col)
+#:   k-grams   := k consecutive tokens joined by ' '; g = n_tokens-k+1
+#:   hash      := md5 hex of the k-gram string. Winnowing needs only a
+#:                TOTAL ORDER on hashes, so the fixed-width lowercase
+#:                hex string under lexicographic order is used directly
+#:                — it is bit-identical in Spark and DuckDB, which makes
+#:                the operator hash-checkable by the driver (a numeric
+#:                conversion would have to reproduce two engines' hex
+#:                parsing; the string order needs nothing).
+#:   windows   := every w consecutive gram hashes; docs with fewer than
+#:                w grams get ONE window over all their grams (so every
+#:                doc with >= k tokens yields >= 1 fingerprint)
+#:   selection := per window, the minimum hash; ties broken to the
+#:                RIGHTMOST minimal position (deterministic, and the
+#:                convention under which adjacent windows re-select the
+#:                same occurrence, giving winnowing's density ~2/(w+1))
+#:   output    := DISTINCT (fp, pos) pairs per doc, pos = 1-based token
+#:                index of the selected k-gram's start
+#: Guarantee (the paper's Theorem): any shared token run of length
+#: >= w+k-1 between two documents produces at least one shared
+#: fingerprint — the basis of winnow_dup_pairs in ops/dedup.py.
+WINNOW_K = 4
+WINNOW_W = 4
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowed document fingerprints (SIGMOD'03 / MOSS) as rows
+    ``(doc_id, fp, pos)`` — map-only (Project + one Generate, zero
+    shuffle at any scale): every per-window argmin runs inside codegen
+    over the per-row gram array; no Python, no join, no aggregate.
+
+    At 100 TB this is the fingerprint-extraction pass of a
+    winnowing-based dedup: ~2/(w+1) of grams survive per doc, the
+    output is (doc, fp) postings ready for the capped inverted-index
+    join in :func:`jam_spark.ops.dedup.winnow_dup_pairs`.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    kg = k - 1
+    grams = (
+        f"CASE WHEN size(toks) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {kg}), "
+        f"i -> md5(array_join(slice(toks, i, {k}), ' '))) END"
+    )
+    # per window j: min hash over grams[j .. j+w-1] (slice clamps at the
+    # array end), tie -> rightmost minimal position; encoded 'fp:pos' so
+    # array_distinct needs no struct support in the SQL twin
+    mn = f"array_min(slice(grams, j, {w}))"
+    sel = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(grams) - {w - 1}, 1)), "
+        f"j -> concat({mn}, ':', cast(array_max(filter("
+        f"sequence(j, least(j + {w - 1}, size(grams))), "
+        f"i -> element_at(grams, i) = {mn})) as string))))"
+    )
+    return (
+        documents.select("doc_id", _tokens_col().alias("toks"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .select("doc_id", F.explode(F.expr(sel)).alias("u"))
+        .select(
+            "doc_id",
+            F.substring("u", 1, 32).alias("fp"),
+            F.expr("cast(substring(u, 34) as bigint)").alias("pos"),
+        )
+    )
+
+
+def winnow_fingerprints_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints` (identical md5-hex
+    lexicographic selection, identical short-doc single-window rule)."""
+    kg, wg = k - 1, w - 1
+    mn = f"list_min(grams[j:least(j + {wg}, ng)])"
+    return f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                [md5(array_to_string(toks[i:i + {kg}], ' '))
+                 FOR i IN range(1, greatest(len(toks) - {kg}, 0) + 1)] AS grams
+              FROM t),
+        s AS (SELECT doc_id, grams, len(grams) AS ng FROM g
+              WHERE len(grams) > 0),
+        w AS (SELECT doc_id,
+                list_distinct([
+                    {mn} || ':' ||
+                    list_max([i FOR i IN range(j, least(j + {wg}, ng) + 1)
+                              IF grams[i] = {mn}])
+                  FOR j IN range(1, greatest(ng - {wg}, 1) + 1)]) AS sel
+              FROM s)
+        SELECT doc_id,
+               substring(u, 1, 32) AS fp,
+               substring(u, 34)::BIGINT AS pos
+        FROM (SELECT doc_id, unnest(sel) AS u FROM w)
+    """

@@ -1860,3 +1860,168 @@ def test_suffix_array_leaves_no_persisted_blocks(spark):
     suffix_array(docs).collect()
     release_all()
     assert persisted_ids() <= before
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS)
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text, k, w):
+    """Third engine: literal pure-Python winnowing under the frozen spec
+    (md5-hex lexicographic order, rightmost-minimal tie rule, single
+    window when fewer than w grams, distinct (fp, pos) output)."""
+    import hashlib
+    import re
+
+    if text is None or not text.strip():
+        return set()
+    toks = re.split(r"\s+", text.strip())
+    if len(toks) < k:
+        return set()
+    grams = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+        for i in range(len(toks) - k + 1)
+    ]
+    ng = len(grams)
+    out = set()
+    for j in range(max(ng - w + 1, 1)):
+        win = grams[j:j + w]
+        mn = min(win)
+        # rightmost minimal position, 1-based gram index
+        pos = j + max(i for i, h in enumerate(win) if h == mn) + 1
+        out.add((mn, pos))
+    return out
+
+
+def test_winnow_fingerprints_three_engine_parity(spark):
+    """Spark's codegen argmin-per-window vs DuckDB's list comprehension
+    vs the pure-Python oracle, on adversarial shapes: identical docs,
+    short docs (< k tokens, exactly k tokens, < w grams), empty, NULL,
+    non-ASCII, and a doc with massive token repetition (hash ties)."""
+    import duckdb
+
+    from jam_spark.ops.text import winnow_fingerprints, winnow_fingerprints_sql
+
+    cases = [
+        (1, "a b c d e f g h a b c d"),
+        (2, ""),
+        (3, "x y"),                       # < k tokens -> no fingerprints
+        (4, "a b c d e f g h a b c d"),   # identical to doc 1
+        (5, "p q r"),                     # exactly k tokens, 1 gram
+        (6, "p q r s"),                   # 2 grams < w -> one window
+        (7, None),
+        (8, "тест юникод токены раз два три четыре пять шесть"),
+        (9, "t t t t t t t t t t t t"),   # all grams equal: tie rule
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=k, w=w).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+    for did, text in cases:
+        assert got.get(did, set()) == _py_winnow(text, k, w), (did, text)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if t is None else chr(39) + t + chr(39)})"
+            for i, t in cases
+        )
+        + ") t(doc_id, text)"
+    )
+    want = {}
+    for did, fp, pos in con.sql(
+        winnow_fingerprints_sql(k=k, w=w)
+    ).fetchall():
+        want.setdefault(did, set()).add((fp, pos))
+    assert got == want
+
+
+def test_winnow_guarantee_and_dup_pairs(spark):
+    """The SIGMOD'03 theorem: any shared token run of length >= w+k-1
+    yields a shared fingerprint. Planted: doc pairs embedding the same
+    (w+k-1)-token run inside unrelated text must ALL surface in
+    winnow_dup_pairs(min_shared=1); unrelated docs must not."""
+    import random
+
+    from jam_spark.ops.dedup import winnow_dup_pairs, winnow_dup_pairs_sql
+
+    k, w = 4, 4
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+
+    def rand_text(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    run = " ".join(f"shared{i}" for i in range(w + k - 1))
+    rows = []
+    planted = []
+    for p in range(5):
+        a, b = 100 + 2 * p, 101 + 2 * p
+        rows.append((a, rand_text(30) + " " + run + " " + rand_text(30)))
+        rows.append((b, rand_text(30) + " " + run + " " + rand_text(30)))
+        planted.append((a, b))
+    for d in range(200, 210):
+        rows.append((d, rand_text(60)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_dup_pairs(df, k=k, w=w, min_shared=1)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    for a, b in planted:
+        assert (a, b) in got, (a, b)
+    # unrelated random docs share no (k=4)-gram with prob ~1; the only
+    # pairs beyond the planted ones would be cross-plant (same run)
+    for a, b in got:
+        assert a >= 100 and b >= 100 and (a < 200) == (b < 200)
+
+    # DuckDB twin on the same corpus: exact row equality
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = sorted(
+        tuple(r) for r in con.sql(
+            winnow_dup_pairs_sql(k=k, w=w, min_shared=1)
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in pairs.collect()) == want
+
+
+def test_winnow_hot_fp_cap_bounds_boilerplate(spark):
+    """A fingerprint selected by > max_df docs (boilerplate footer) must
+    be dropped from the numerator AND both denominators — pairs held
+    together only by boilerplate vanish; genuinely-shared pairs keep
+    their non-boilerplate fingerprints."""
+    from jam_spark.ops.dedup import winnow_dup_pairs
+
+    k, w = 3, 4
+    footer = "all rights reserved by the site"
+    rows = [(i, f"unique{i} body{i} words{i} here{i} " + footer)
+            for i in range(50)]
+    rows.append((900, "genuine copy of a page body one two three four five"))
+    rows.append((901, "genuine copy of a page body one two three four five"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"])
+           for r in winnow_dup_pairs(df, k=k, w=w, min_shared=1,
+                                     max_df=10).collect()}
+    assert got == {(900, 901)}
+
+
+def test_winnow_fingerprints_plan_is_map_only(spark):
+    """Fingerprint extraction must run inside the scan stage: one
+    Generate (the explode), no Exchange, no Python — the pass that
+    reads 100 TB must not shuffle it."""
+    from jam_spark.ops.text import winnow_fingerprints
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        winnow_fingerprints(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
