@@ -115,6 +115,7 @@ def main() -> None:
             lambda: dedup.line_dedup(dedup.documents_with_lines(docs)),
         ),
         ("mix_report", lambda: dedup.mix_report(docs)),
+        ("winnow_dup_pairs", lambda: dedup.winnow_dup_pairs(docs)),
         ("shard_manifest", lambda: dedup.shard_manifest(docs)),
         ("minhash_sketches", lambda: dedup.minhash_sketches(docs)),
         ("minhash_pairs", lambda: dedup.minhash_pairs(docs)),

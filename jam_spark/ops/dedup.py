@@ -2213,11 +2213,15 @@ def winnow_dup_pairs(
     at O(n_fps x max_df^2 / 2). The SQL oracle applies the identical
     cap, so parity holds at every scale.
     """
-    from .text import winnow_fingerprints
+    from .text import winnow_doc_fps
 
-    fps = winnow_fingerprints(documents, k=k, w=w).select(
-        "doc_id", "fp"
-    ).distinct()
+    # the per-window argmin is the expensive map pass here; a
+    # pathological single-split input would serialize it (no-op at
+    # scale, where splits are abundant — the winnow ops themselves stay
+    # guard-free so their zero-shuffle plans hold for callers that
+    # control their own partitioning). winnow_doc_fps dedupes (doc, fp)
+    # INSIDE the row, so no corpus-wide distinct exchange is needed.
+    fps = winnow_doc_fps(_ensure_parallelism(documents), k=k, w=w)
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -750,35 +750,86 @@ def winnow_fingerprints(
     output is (doc, fp) postings ready for the capped inverted-index
     join in :func:`jam_spark.ops.dedup.winnow_dup_pairs`.
     """
-    if k < 1 or w < 1:
-        raise ValueError("k and w must be >= 1")
-    kg = k - 1
-    grams = (
-        f"CASE WHEN size(toks) < {k} THEN array() "
-        f"ELSE transform(sequence(1, size(toks) - {kg}), "
-        f"i -> md5(array_join(slice(toks, i, {k}), ' '))) END"
-    )
-    # per window j: min hash over grams[j .. j+w-1] (slice clamps at the
-    # array end), tie -> rightmost minimal position; encoded 'fp:pos' so
-    # array_distinct needs no struct support in the SQL twin
-    mn = f"array_min(slice(grams, j, {w}))"
-    sel = (
-        f"array_distinct(transform("
-        f"sequence(1, greatest(size(grams) - {w - 1}, 1)), "
-        f"j -> concat({mn}, ':', cast(array_max(filter("
-        f"sequence(j, least(j + {w - 1}, size(grams))), "
-        f"i -> element_at(grams, i) = {mn})) as string))))"
-    )
     return (
-        documents.select("doc_id", _tokens_col().alias("toks"))
-        .select("doc_id", F.expr(grams).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .select("doc_id", F.explode(F.expr(sel)).alias("u"))
+        _winnow_sel(documents, *_winnow_exprs(k, w))
+        .select("doc_id", F.explode("sel").alias("u"))
         .select(
             "doc_id",
             F.substring("u", 1, 32).alias("fp"),
             F.expr("cast(substring(u, 34) as bigint)").alias("pos"),
         )
+    )
+
+
+def _winnow_exprs(k: int, w: int) -> tuple[str, str]:
+    """(grams, sel) SQL expressions for the frozen winnowing spec.
+
+    Per window j: rightmost-minimal (hash, pos) in ONE fold over the
+    window — ``<=`` keeps the latest minimal occurrence, and the seed
+    '~' (0x7e) sorts after every hex char so the first element always
+    replaces it. A slice+array_min+filter formulation computes the
+    same selection but scans each window three times and allocates a
+    slice per window (measured ~2x slower on the 100 TB-shaped pass).
+    Encoded 'fp:pos' so array_distinct needs no struct support in the
+    SQL twin.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    kg = k - 1
+    # NULL toks (NULL text) must land in the empty branch too — with no
+    # row filter downstream (see the sel note), a NULL passed through
+    # the fold would surface the '~:-1' seed as a bogus fingerprint
+    grams = (
+        f"CASE WHEN toks IS NULL OR size(toks) < {k} THEN array() "
+        f"ELSE transform(sequence(1, size(toks) - {kg}), "
+        f"i -> md5(array_join(slice(toks, i, {k}), ' '))) END"
+    )
+    fold = (
+        f"aggregate(sequence(j, least(j + {w - 1}, size(grams))), "
+        f"named_struct('fp', '~', 'pos', -1), "
+        f"(acc, i) -> IF(element_at(grams, i) <= acc.fp, "
+        f"named_struct('fp', element_at(grams, i), 'pos', i), acc))"
+    )
+    # the empty-grams guard lives INSIDE the expression (empty array ->
+    # explode emits nothing) rather than as a .filter(size(grams) > 0):
+    # a filter predicate referencing grams gets predicate-pushed below
+    # any repartition Exchange, and since the predicate CONTAINS the
+    # md5-per-gram computation, the whole hash pass would run inside the
+    # (possibly single-split) scan stage — measured: the entire operator
+    # serialized on one task at sf0.1 despite the parallelism guard.
+    sel = (
+        f"CASE WHEN size(grams) = 0 THEN array() "
+        f"ELSE array_distinct(transform("
+        f"transform(sequence(1, greatest(size(grams) - {w - 1}, 1)), "
+        f"j -> {fold}), "
+        f"s -> concat(s.fp, ':', cast(s.pos as string)))) END"
+    )
+    return grams, sel
+
+
+def _winnow_sel(documents: DataFrame, grams: str, sel: str) -> DataFrame:
+    return (
+        documents.select("doc_id", _tokens_col().alias("toks"))
+        .select("doc_id", F.expr(grams).alias("grams"))
+        .select("doc_id", F.expr(sel).alias("sel"))
+    )
+
+
+def winnow_doc_fps(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Per-doc DISTINCT winnowed fingerprints ``(doc_id, fp)`` — the
+    postings input of :func:`jam_spark.ops.dedup.winnow_dup_pairs`.
+    Same selection as :func:`winnow_fingerprints`, but the dedup happens
+    INSIDE the row (array_distinct over the selected hashes before the
+    explode), so the pair join needs no corpus-wide ``.distinct()``
+    exchange: (doc_id, fp) duplicates can only arise within one doc."""
+    df = _winnow_sel(documents, *_winnow_exprs(k, w))
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.expr("array_distinct(transform(sel, u -> substring(u, 1, 32)))")
+        ).alias("fp"),
     )
 
 

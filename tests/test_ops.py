@@ -2025,3 +2025,24 @@ def test_winnow_fingerprints_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_hash_pass_runs_above_the_exchange(spark):
+    """Regression: a `.filter(size(grams) > 0)` guard used to be
+    predicate-pushed below the parallelism repartition, dragging the
+    whole md5-per-gram computation into the (single-split) scan stage —
+    the operator serialized on one task despite the guard. The empty-
+    grams guard now lives inside the projection, so everything below
+    the Exchange must be hash-free."""
+    from jam_spark.ops.dedup import _ensure_parallelism
+    from jam_spark.ops.text import winnow_doc_fps
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        winnow_doc_fps(_ensure_parallelism(docs))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" in plan  # the guard did repartition the tiny file
+    below = plan.split("Exchange", 1)[1]
+    assert "md5" not in below, below
+    assert "md5" in plan.split("Exchange", 1)[0]
