@@ -130,6 +130,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dup_pairs": q(
             lambda s, d: dedup.winnow_dup_pairs(_docs(s, d))
         ),
+        # driver-checkable connected components (recursive-CTE oracle):
+        # the same hybrid CC the minhash flagship uses, over edge
+        # families whose pair sets ARE ANSI-SQL-expressible
+        "winnow_dup_clusters": q(
+            lambda s, d: dedup.winnow_dup_clusters(_docs(s, d))
+        ),
+        "ngram_dup_clusters": q(
+            lambda s, d: dedup.ngram_dup_clusters(_docs(s, d))
+        ),
         "repetition_profile": q(
             lambda s, d: text.repetition_profile(_docs(s, d))
         ),
@@ -258,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.doc_fingerprint_sql(),
         "winnow_fingerprints": text.winnow_fingerprints_sql(),
         "winnow_dup_pairs": dedup.winnow_dup_pairs_sql(),
+        "winnow_dup_clusters": dedup.winnow_dup_clusters_sql(),
+        "ngram_dup_clusters": dedup.ngram_dup_clusters_sql(),
         "repetition_profile": text.repetition_profile_sql(),
         "quality_filter": text.quality_filter_sql(),
         "pii_profile": text.pii_profile_sql(),

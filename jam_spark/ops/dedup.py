@@ -2296,3 +2296,110 @@ def winnow_dup_pairs_sql(
         JOIN sizes sa ON sa.doc_id = s.doc_a
         JOIN sizes sb ON sb.doc_id = s.doc_b
     """
+
+
+def winnow_dup_clusters(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(doc_id, cluster_id) — duplicate clusters: connected components
+    over the :func:`winnow_dup_pairs` edge set, labels = min doc_id per
+    component; singleton docs label themselves.
+
+    This is the first CLUSTER-stage operator with a full DuckDB oracle:
+    the winnow edge set is deterministic ANSI SQL, and the closure is a
+    recursive min-label CTE — so the driver hash-checks the same
+    connected-components semantics that the flagship minhash pipeline's
+    CC (jam_spark.cluster.connected_components, reused here verbatim)
+    applies to its LSH edges, where xxh3 sketches keep the edges
+    themselves outside SQL's reach.
+
+    Scale shape: edges come from the capped postings join (bounded per
+    fingerprint), closure is the hybrid CC — driver union-find below
+    the edge threshold, hash-min label propagation with pointer jumping
+    above it; nodes-universe join restores singletons distributively.
+    """
+    from ..cluster import connected_components
+
+    pairs = winnow_dup_pairs(
+        documents, k=k, w=w, min_shared=min_shared, max_df=max_df
+    )
+    nodes = documents.select("doc_id")
+    out = connected_components(pairs, nodes, id_a="doc_a", id_b="doc_b")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def _cc_recursive_sql(pairs_sql: str, a: str, b: str) -> str:
+    """Recursive min-label closure over an edge subquery — the DuckDB
+    oracle twin of jam_spark.cluster.connected_components (labels = min
+    member id; singletons from the documents universe label themselves).
+
+    The ``r.label < e.b`` prune is safe: a label larger than the node it
+    would enter can never be that node's component minimum (the node
+    itself is already smaller and in the same component), and it bounds
+    the recursion's working set.
+    """
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql}) t),
+        edges AS (
+          SELECT {a} AS ea, {b} AS eb FROM pairs
+          UNION
+          SELECT {b} AS ea, {a} AS eb FROM pairs
+        ),
+        reach(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.eb AS node, r.label
+          FROM reach r JOIN edges e ON e.ea = r.node
+          WHERE r.label < e.eb
+        )
+        SELECT node::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+        FROM reach GROUP BY node
+    """
+
+
+def winnow_dup_clusters_sql(
+    k: int = 4, w: int = 4, min_shared: int = 2, max_df: int = 1000
+) -> str:
+    """DuckDB twin of :func:`winnow_dup_clusters`."""
+    return _cc_recursive_sql(
+        winnow_dup_pairs_sql(k=k, w=w, min_shared=min_shared, max_df=max_df),
+        "doc_a", "doc_b",
+    )
+
+
+def ngram_dup_clusters(
+    documents: DataFrame, n: int = 3, threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over the
+    :func:`ngram_jaccard_pairs` edge set (exact n-gram Jaccard above
+    threshold), labels = min doc_id; second driver-checkable CC family
+    (see :func:`winnow_dup_clusters`)."""
+    from ..cluster import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        documents, n=n, threshold=threshold, max_df=max_df
+    )
+    nodes = documents.select("doc_id")
+    out = connected_components(pairs, nodes, id_a="doc_a", id_b="doc_b")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def ngram_dup_clusters_sql(
+    n: int = 3, threshold: float = 0.5, max_df: int = 1000
+) -> str:
+    """DuckDB twin of :func:`ngram_dup_clusters`."""
+    return _cc_recursive_sql(
+        ngram_jaccard_pairs_sql(n=n, threshold=threshold, max_df=max_df),
+        "doc_a", "doc_b",
+    )

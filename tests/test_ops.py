@@ -2046,3 +2046,100 @@ def test_winnow_hash_pass_runs_above_the_exchange(spark):
     below = plan.split("Exchange", 1)[1]
     assert "md5" not in below, below
     assert "md5" in plan.split("Exchange", 1)[0]
+
+
+def test_dup_clusters_transitive_three_engine(spark):
+    """CC over pair edges must close TRANSITIVELY: planted A~B and B~C
+    (pairwise shared runs, but A and C share nothing directly) must
+    land in one cluster labeled min(doc_id). Checked against the
+    recursive-CTE DuckDB oracle AND a pure-Python union-find."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        winnow_dup_clusters,
+        winnow_dup_clusters_sql,
+        winnow_dup_pairs,
+    )
+
+    k, w = 4, 4
+    run1 = " ".join(f"alpha{i}" for i in range(w + k - 1))
+    run2 = " ".join(f"beta{i}" for i in range(w + k - 1))
+    filler1 = " ".join(f"f{i}" for i in range(40))
+    filler2 = " ".join(f"g{i}" for i in range(40))
+    filler3 = " ".join(f"h{i}" for i in range(40))
+    rows = [
+        (10, filler1 + " " + run1),              # A: run1 only
+        (11, run1 + " " + filler2 + " " + run2), # B: run1 + run2
+        (12, run2 + " " + filler3),              # C: run2 only
+        (13, "lone doc with nothing shared at all beyond itself today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in winnow_dup_clusters(df, k=k, w=w, min_shared=1).collect()}
+    # A~C must NOT be a direct pair (the closure, not the join, links them)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in winnow_dup_pairs(df, k=k, w=w, min_shared=1).collect()}
+    assert (10, 11) in pairs and (11, 12) in pairs and (10, 12) not in pairs
+    assert got == {10: 10, 11: 10, 12: 10, 13: 13}
+
+    # python union-find third engine over the pair edges
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for d, _ in rows:
+        r = find(d)
+        labels.setdefault(r, []).append(d)
+    want_py = {d: min(labels[find(d)]) for d, _ in rows}
+    assert got == want_py
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = dict(con.sql(winnow_dup_clusters_sql(k=k, w=w, min_shared=1)).fetchall())
+    assert got == want
+
+
+def test_dup_clusters_distributed_path_matches_driver_path(spark):
+    """The hybrid CC's distributed label-propagation path must produce
+    the same clusters as the driver union-find on the same winnow
+    edges (the ops call the hybrid with its default threshold; this
+    pins both paths to one answer on a planted multi-cluster corpus)."""
+    from jam_spark.cluster import connected_components
+    from jam_spark.ops.dedup import winnow_dup_pairs
+
+    k, w = 4, 4
+    rows = []
+    for c in range(4):
+        run = " ".join(f"c{c}tok{i}" for i in range(w + k - 1))
+        for m in range(3):
+            pad = " ".join(f"p{c}_{m}_{i}" for i in range(20))
+            rows.append((100 * c + m, pad + " " + run))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_dup_pairs(df, k=k, w=w, min_shared=1)
+    nodes = df.select("doc_id")
+    drv = connected_components(
+        pairs, nodes, id_a="doc_a", id_b="doc_b",
+        driver_threshold=5_000_000,
+    )
+    dist = connected_components(
+        pairs, nodes, id_a="doc_a", id_b="doc_b", driver_threshold=0,
+    )
+    a = sorted(tuple(r) for r in drv.collect())
+    b = sorted(tuple(r) for r in dist.collect())
+    assert a == b
+    labels = {u: c for u, c in a}
+    for c in range(4):
+        assert labels[100 * c] == labels[100 * c + 1] == labels[100 * c + 2] == 100 * c
