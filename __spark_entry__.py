@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_dup_clusters": q(
             lambda s, d: dedup.ngram_dup_clusters(_docs(s, d))
         ),
+        "simhash_dup_clusters": q(
+            lambda s, d: dedup.simhash_dup_clusters(_docs(s, d))
+        ),
         "repetition_profile": q(
             lambda s, d: text.repetition_profile(_docs(s, d))
         ),
@@ -269,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dup_pairs": dedup.winnow_dup_pairs_sql(),
         "winnow_dup_clusters": dedup.winnow_dup_clusters_sql(),
         "ngram_dup_clusters": dedup.ngram_dup_clusters_sql(),
+        "simhash_dup_clusters": dedup.simhash_dup_clusters_sql(),
         "repetition_profile": text.repetition_profile_sql(),
         "quality_filter": text.quality_filter_sql(),
         "pii_profile": text.pii_profile_sql(),

@@ -2403,3 +2403,57 @@ def ngram_dup_clusters_sql(
         ngram_jaccard_pairs_sql(n=n, threshold=threshold, max_df=max_df),
         "doc_a", "doc_b",
     )
+
+
+def simhash_dup_clusters(
+    documents: DataFrame, k: int = 3, band_cap: int | None = None
+) -> DataFrame:
+    """(doc_id, cluster_id) — SimHash near-duplicate clusters: connected
+    components over the Manku hamming-<=k relation, labels = min doc_id
+    per component; third driver-checkable CC family (see
+    :func:`winnow_dup_clusters`).
+
+    Scale shape — the edge set is NOT the m² pair expansion the oracle
+    closes over: mirror groups (hamming 0) enter as STAR edges
+    (fingerprint-min rep -> member, one edge per doc, straight from the
+    map-side-combinable :func:`simhash_mirror_groups` aggregate), and
+    only the cross-fingerprint hamming 1..k pairs come from the banded
+    join (``include_mirror_pairs=False``). The transitive closure of a
+    clique equals the closure of its star, so components — and the
+    min-label canonicalization — are identical to closing over the full
+    pair set, which is exactly what the recursive-CTE SQL twin does;
+    the driver's hash check certifies that equivalence on every run.
+    A 10^8-mirror boilerplate page therefore costs 10^8 edges (linear),
+    not 10^16 (quadratic), before the same hybrid CC as the flagship.
+    """
+    from ..cluster import connected_components
+
+    cross = simhash_dup_pairs(
+        documents, k=k, band_cap=band_cap, include_mirror_pairs=False
+    ).select("doc_a", "doc_b")
+    fps = simhash(documents)
+    # rep per fingerprint via the map-side-combinable aggregate (NOT a
+    # window: a 10^8-row mirror group must pre-collapse per map task,
+    # not sort inside one window partition); the member join back is
+    # N x 1 per hot key — AQE skew-splittable
+    reps = fps.groupBy("simhash").agg(F.min("doc_id").alias("rep"))
+    stars = (
+        fps.join(reps, "simhash")
+        .filter(F.col("rep") != F.col("doc_id"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    nodes = documents.select("doc_id")
+    out = connected_components(
+        cross.unionByName(stars), nodes, id_a="doc_a", id_b="doc_b"
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+def simhash_dup_clusters_sql(k: int = 3) -> str:
+    """DuckDB twin of :func:`simhash_dup_clusters` — closes over the
+    FULL pair set (mirror pairs included); equality with the star-edge
+    Spark path is the clique-star closure equivalence."""
+    return _cc_recursive_sql(simhash_dup_pairs_sql(k=k), "doc_a", "doc_b")

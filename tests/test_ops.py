@@ -2143,3 +2143,45 @@ def test_dup_clusters_distributed_path_matches_driver_path(spark):
     labels = {u: c for u, c in a}
     for c in range(4):
         assert labels[100 * c] == labels[100 * c + 1] == labels[100 * c + 2] == 100 * c
+
+
+def test_simhash_dup_clusters_star_edges_match_full_pair_closure(spark):
+    """The Spark path builds mirror STAR edges (linear) while the oracle
+    closes over the FULL m^2 pair set — the clique-star closure
+    equivalence must make them land on identical clusters. Corpus plants
+    a 4-doc exact-mirror group, a hamming-1 neighbor chained onto it
+    (transitively joining via the cross-fp pair, not a direct mirror),
+    and unrelated docs."""
+    import duckdb
+
+    from jam_spark.ops.dedup import (
+        simhash_dup_clusters,
+        simhash_dup_clusters_sql,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventy "
+        "silver ships sail slowly shoreward under a warm autumn sky"
+    )
+    rows = [(i, base) for i in range(4)]  # exact mirrors: same simhash
+    rows.append((4, base + " epsilon"))   # near-dup of the mirror text
+    rows.append((5, "completely different content about databases and "
+                    "distributed query engines running columnar scans"))
+    rows.append((6, "another unrelated page counting oranges apples "
+                    "pears plums and the market prices thereof today"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in simhash_dup_clusters(df).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = dict(con.sql(simhash_dup_clusters_sql()).fetchall())
+    assert got == want
+    # the planted mirror group must share one cluster labeled 0
+    assert got[0] == got[1] == got[2] == got[3] == 0
+    # singletons label themselves
+    assert got[5] == 5 and got[6] == 6
