@@ -396,3 +396,53 @@ def test_null_text_pages_kept_and_not_resketched(spark, tmp_path):
     assert sk_again.count() == sk1
     assert mem_again.count() == 4
     assert got == _clusters_dict(dedup_pipeline(pages_all, params))
+
+
+def test_crash_between_bands_append_and_watermark(spark, tmp_path):
+    """The bands idempotency anti-join is gated on an append-intent
+    marker: a retry after a crash INSIDE the append window (postings
+    appended, band_nids watermark stale, marker left open) must not
+    duplicate postings, and must converge to the from-scratch state."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from jam_spark.pairs import bands_table, thin_hot_bands, with_nid
+    from jam_spark.pipeline import dedup_pipeline
+
+    params = SketchParams()
+    pages_all = spark.createDataFrame(
+        pages_to_pandas(generate_pages(n_docs=120, seed=13))
+    ).cache()
+    first = pages_all.limit(80)
+    root = str(tmp_path / "ck_bandcrash")
+    CheckpointedDedup(spark, root, params).run(first)
+
+    # stage the incremental sketches (the crashed attempt got past
+    # run_sketches), then replicate its bands append BY HAND: marker
+    # written, delta postings appended, watermark NOT rewritten
+    ck = CheckpointedDedup(spark, root, params)
+    sketches, _ = ck.run_sketches(pages_all)
+    sk = with_nid(spark.read.parquet(_os.path.join(root, "sketches")))
+    known = spark.read.parquet(_os.path.join(root, "band_nids"))
+    new_sk = sk.join(known, "nid", "left_anti")
+    assert new_sk.count() > 0
+    delta = thin_hot_bands(
+        bands_table(new_sk, params, id_col="nid"), params, id_col="nid"
+    )
+    with open(_os.path.join(root, "bands.append_intent"), "w") as f:
+        f.write("{}")
+    delta.write.mode("append").parquet(_os.path.join(root, "bands"))
+    # ... crash here: band_nids stale, marker left open
+
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert got == want
+
+    bands = spark.read.parquet(_os.path.join(root, "bands"))
+    n_rows = bands.count()
+    n_distinct = bands.select("nid", "band_id", "band_hash").distinct().count()
+    assert n_rows == n_distinct, "retry duplicated postings"
+    # both append windows closed cleanly
+    assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
+    assert not _os.path.exists(_os.path.join(root, "pairs.append_intent"))
