@@ -460,7 +460,12 @@ class CheckpointedDedup:
             # is still open; the clean-path daily append skips it
             # (measured: the scan was ~30% of the bands-append wall at
             # 1M docs / 10% delta, tools/incremental_bench.py).
-            if self._begin_append("bands"):
+            # dirty if a previous window is open OR the watermark table
+            # is missing outright (a full build that crashed after its
+            # bands write — that window is marker-wrapped below, but a
+            # missing watermark is conclusive on its own)
+            dirty = self._begin_append("bands")
+            if dirty or not self._done("band_nids"):
                 delta = delta.join(bands.select("nid"), "nid", "left_anti")
             self._append(
                 delta.sortWithinPartitions("band_id", "band_hash"), "bands", t0
@@ -486,11 +491,18 @@ class CheckpointedDedup:
         bands = bands.repartition("band_id", "band_hash").sortWithinPartitions(
             "band_id", "band_hash"
         )
+        # the full build shares the append-window contract: a crash
+        # between the bands write and the watermark write leaves the
+        # marker open (and possibly a STALE band_nids from a prior
+        # epoch), so the next incremental run de-duplicates instead of
+        # appending rows the fresh table already holds
+        self._begin_append("bands")
         out = self._write(bands, "bands")
         self.store.write(
             sk.select("nid").distinct(), "band_nids",
             {"jam.params": self.params.to_json()},
         )
+        self._end_append("bands")
         return out
 
     def run_pairs(self, sketches: DataFrame, bands: DataFrame | None = None) -> DataFrame:
@@ -557,8 +569,10 @@ class CheckpointedDedup:
             delta = remap_pairs(pairs_n, sk.select("nid", "url"))
             # same intent-marker gating as run_bands: the retry
             # anti-join against the existing pair set runs only when a
-            # previous append window is still open
-            if self._begin_append("pairs"):
+            # previous append window is still open (or the watermark is
+            # missing — a crashed full build)
+            dirty = self._begin_append("pairs")
+            if dirty or not self._done("pair_nids"):
                 delta = delta.join(
                     pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
                 )
@@ -581,6 +595,7 @@ class CheckpointedDedup:
             out_df = remap_pairs(pairs_n, sk.select("nid", "url"))
         else:
             out_df = pairs_stage(sketches, self.params)
+        self._begin_append("pairs")
         out = self._write(
             out_df.withColumn("batch", F.lit(0).cast("long")), "pairs"
         )
@@ -588,6 +603,7 @@ class CheckpointedDedup:
             sk.select("nid").distinct(), "pair_nids",
             {"jam.params": self.params.to_json()},
         )
+        self._end_append("pairs")
         return out
 
     def run_clusters(self, pairs: DataFrame, membership: DataFrame) -> DataFrame:

@@ -446,3 +446,51 @@ def test_crash_between_bands_append_and_watermark(spark, tmp_path):
     # both append windows closed cleanly
     assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
     assert not _os.path.exists(_os.path.join(root, "pairs.append_intent"))
+
+
+def test_crash_during_full_bands_rebuild_with_stale_watermark(spark, tmp_path):
+    """Full-build crash window: bands fully rewritten for ALL nids but
+    the watermark write never ran, leaving band_nids STALE from an
+    earlier epoch (plus the open intent marker). The next run takes the
+    incremental branch, recomputes a delta for nids the fresh table
+    already holds — and must de-duplicate instead of appending them."""
+    import os as _os
+    import shutil as _shutil
+
+    from jam_spark.pairs import bands_table, thin_hot_bands, with_nid
+    from jam_spark.pipeline import dedup_pipeline
+
+    params = SketchParams()
+    pages_all = spark.createDataFrame(
+        pages_to_pandas(generate_pages(n_docs=120, seed=13))
+    ).cache()
+    first = pages_all.limit(80)
+    root = str(tmp_path / "ck_fullcrash")
+    CheckpointedDedup(spark, root, params).run(first)
+
+    # new sketches land, then bands are invalidated (as a params-safe
+    # rebuild would) while the old band_nids survives
+    ck = CheckpointedDedup(spark, root, params)
+    ck.run_sketches(pages_all)
+    _shutil.rmtree(_os.path.join(root, "bands"))
+
+    # the crashed rebuild: marker open, FULL bands written, watermark
+    # never rewritten (still the 80-page epoch's nid set)
+    sk = with_nid(spark.read.parquet(_os.path.join(root, "sketches")))
+    full_bands = thin_hot_bands(
+        bands_table(sk, params, id_col="nid"), params, id_col="nid"
+    )
+    with open(_os.path.join(root, "bands.append_intent"), "w") as f:
+        f.write("{}")
+    full_bands.write.mode("overwrite").parquet(_os.path.join(root, "bands"))
+    # ... crash here
+
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert got == want
+    bands = spark.read.parquet(_os.path.join(root, "bands"))
+    assert (
+        bands.count()
+        == bands.select("nid", "band_id", "band_hash").distinct().count()
+    ), "stale-watermark retry duplicated postings"
+    assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
