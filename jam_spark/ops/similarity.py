@@ -37,6 +37,7 @@ from pyspark.sql import types as T
 
 from .._persist import track
 from ..hashes import M64, xxh3_u64
+from ..scan import exact_count
 
 
 def _dot(a, b):
@@ -153,7 +154,7 @@ def cosine_topk_fast(
     constant factor: falls back to :func:`ann_lsh_topk` with a
     ``UserWarning`` (results become approximate).
     """
-    n = embeddings.count()
+    n = exact_count(embeddings)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, neighbor_id long, cosine double, rank long"
@@ -280,19 +281,7 @@ def cosine_topk_fast(
     # exact re-score of the ≤ 2k·n_blocks-per-query candidate set with the
     # identical sequential-float64 fold cosine_topk uses ⇒ bit-identical
     # scores; the ~k·n candidate rows are a cheap JVM-side join
-    ea = embeddings.select("vec_id", F.col("embedding").alias("ea"))
-    eb = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb")
-    )
-    scored = (
-        cand.join(ea, "vec_id")
-        .join(eb, "neighbor_id")
-        .select(
-            "vec_id",
-            "neighbor_id",
-            _cosine_fold_udf("ea", "eb").alias("cosine"),
-        )
-    )
+    scored = _exact_rescore(cand, embeddings)
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -387,13 +376,50 @@ def _cosine_fold_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
     return pd.Series(num / (na * nb))
 
 
+def _np2d_f64(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow ``list<float*>`` array.
+
+    Fast path: a dense list column (no nulls, uniform width) is one
+    contiguous child buffer plus offsets — reshape the flat values
+    directly instead of materializing n per-row objects and
+    ``np.vstack``-ing them (guide §4.2: re-slice buffers, don't copy
+    rows; measured ~2x on the 1.5M-pair ANN rescore). Values are
+    identical to the per-row path, so downstream folds are bit-equal.
+    Sliced batches are safe: ``flatten()`` honors the slice and the
+    offset DIFFERENCES give the widths. Ragged/null layouts fall back
+    to the per-row conversion."""
+    if col.null_count == 0 and len(col):
+        flat = col.flatten()
+        if flat.null_count == 0:
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            widths = np.diff(off)
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+                return np.asarray(flat, dtype=np.float64).reshape(
+                    len(col), int(widths[0])
+                )
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
 def _exact_rescore(cand: DataFrame, embeddings: DataFrame) -> DataFrame:
     """Attach the exact sequential-f64 fold cosine to (vec_id,
     neighbor_id) candidate pairs — the ONE scoring implementation every
     exact/ANN path shares, so scores are bit-comparable across
-    cosine_topk / cosine_dup_pairs / ann_* and the DuckDB oracle."""
+    cosine_topk / cosine_dup_pairs / ann_* and the DuckDB oracle.
+
+    Implementation: ``mapInArrow`` over the candidate⋈embedding join —
+    the per-pair (ea, eb) vectors arrive as dense Arrow list columns and
+    are folded as one (n, dim) float64 ``cumsum`` per batch
+    (:func:`_np2d_f64`): a strict left-to-right prefix sum whose last
+    element is bit-identical to the JVM ``F.aggregate`` fold and to
+    DuckDB's ``list_reduce`` (the ``0.0`` initial accumulator is an
+    IEEE no-op), exactly like the :func:`_cosine_fold_udf` it replaces
+    in the hot path — minus the per-row object marshalling
+    (``np.vstack`` over millions of rows dominated the ANN rescore
+    stage; the certification paths keep the independent JVM fold)."""
     emb = embeddings.select("vec_id", "embedding")
-    return (
+    joined = (
         cand.join(emb.withColumnsRenamed({"embedding": "ea"}), "vec_id")
         .join(
             emb.withColumnsRenamed(
@@ -401,11 +427,31 @@ def _exact_rescore(cand: DataFrame, embeddings: DataFrame) -> DataFrame:
             ),
             "neighbor_id",
         )
-        .select(
-            "vec_id",
-            "neighbor_id",
-            _cosine_fold_udf("ea", "eb").alias("cosine"),
-        )
+        .select("vec_id", "neighbor_id", "ea", "eb")
+    )
+
+    def _score(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            a = _np2d_f64(batch.column(2))
+            b = _np2d_f64(batch.column(3))
+            num = np.cumsum(a * b, axis=1)[:, -1]
+            na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).cast(pa.int64()),
+                    batch.column(1).cast(pa.int64()),
+                    pa.array(num / (na * nb), type=pa.float64()),
+                ],
+                ["vec_id", "neighbor_id", "cosine"],
+            )
+
+    return joined.mapInArrow(
+        _score, "vec_id long, neighbor_id long, cosine double"
     )
 
 
@@ -576,7 +622,7 @@ def ann_ivf_topk(
     oblivious and trains nothing. Both are ``queries()`` entries so the
     driver tracks rows for each.
     """
-    n = embeddings.count()
+    n = exact_count(embeddings)
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, neighbor_id long, cosine double, rank long"
@@ -691,7 +737,7 @@ def _lsh_candidate_pairs(
     if bucket_cap is None:
         bucket_cap = 8 * target_bucket
     if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count(), target_bucket)
+        n_planes = auto_n_planes(exact_count(embeddings), target_bucket)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_udf(emb: pd.Series) -> pd.Series:
@@ -822,7 +868,7 @@ def ann_dup_pairs(
             bucket_cap=bucket_cap,
         )
     elif method == "ivf":
-        n = embeddings.count()
+        n = exact_count(embeddings)
         if n == 0:
             return embeddings.sparkSession.createDataFrame(
                 [], "vec_id long, neighbor_id long, cosine double"

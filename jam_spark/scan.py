@@ -80,6 +80,52 @@ def _estimate_scan_splits(df: DataFrame) -> int | None:
     return max(len(files), -(-total // max_bytes))
 
 
+def metadata_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet footers — driver-side, no Spark job.
+
+    Only answers when ``df`` is a BARE file-scan relation (its analyzed
+    plan is the relation node itself — no filter/project/limit that
+    could change cardinality) over locally stat-able ``.parquet`` files;
+    returns None otherwise and callers fall back to ``df.count()``.
+    For a bare scan the footer row count is exactly what ``count()``
+    computes, so auto-sizing decisions built on it are unchanged — this
+    just removes the per-entry count JOB the ANN paths paid since r2.
+    """
+    try:
+        cls = (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        )
+        if cls not in ("LogicalRelation", "DataSourceV2Relation"):
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files:
+            parsed = urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None
+            path = parsed.path or f
+            if not path.endswith(".parquet"):
+                return None
+            total += pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+    return total
+
+
+def exact_count(df: DataFrame) -> int:
+    """``df.count()`` without the job when the parquet footers already
+    hold the answer (see :func:`metadata_row_count`)."""
+    n = metadata_row_count(df)
+    return df.count() if n is None else n
+
+
 def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism`` only when the scan
     would under-parallelize a map-side-heavy stage; pure driver-side

@@ -2185,3 +2185,38 @@ def test_simhash_dup_clusters_star_edges_match_full_pair_closure(spark):
     assert got[0] == got[1] == got[2] == got[3] == 0
     # singletons label themselves
     assert got[5] == 5 and got[6] == 6
+
+
+def test_np2d_f64_dense_and_ragged_layouts():
+    """_np2d_f64's zero-copy dense fast path must produce the identical
+    float64 matrix as the per-row fallback (bit-equal downstream folds),
+    including on SLICED Arrow arrays (mapInArrow batch slicing), and the
+    ragged/null layouts must take the fallback without error."""
+    import numpy as np
+    import pyarrow as pa
+
+    from jam_spark.ops.similarity import _np2d_f64
+
+    dense = pa.array(
+        [[1.5, 2.25, -3.0], [0.5, -0.125, 4.0], [9.0, 8.0, 7.0]],
+        type=pa.list_(pa.float32()),
+    )
+    ref = np.vstack(
+        [np.asarray(v, dtype=np.float64) for v in dense.to_pylist()]
+    )
+    assert (_np2d_f64(dense) == ref).all()
+    # sliced array: offsets no longer start at 0
+    sl = dense.slice(1, 2)
+    assert (_np2d_f64(sl) == ref[1:]).all()
+    # ragged widths: takes the fallback and raises like the previous
+    # per-row np.vstack path did (embeddings are fixed-dim by contract;
+    # a ragged column is a data error, not something to paper over)
+    import pytest
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _np2d_f64(ragged)
+    # float64 input stays bit-identical too (no f32 round-trip)
+    d64 = pa.array([[1.1, 2.2], [3.3, 4.4]], type=pa.list_(pa.float64()))
+    ref64 = np.vstack([np.asarray(v) for v in d64.to_pylist()])
+    assert (_np2d_f64(d64) == ref64).all()

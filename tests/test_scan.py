@@ -88,3 +88,25 @@ def test_parse_byte_string_suffixes():
     assert _parse_byte_string("1t", -1) == 1024**4
     assert _parse_byte_string("garbage", 77) == 77
     assert _parse_byte_string("12.5m", 77) == 77  # fractions: JVM rejects too
+
+
+def test_metadata_row_count_bare_scan_only(spark, tmp_path):
+    """metadata_row_count answers EXACTLY count() for a bare parquet
+    scan (footer sum — no Spark job) and refuses anything whose
+    cardinality the footers can't prove: filtered plans, projections-of-
+    filters, in-memory frames. exact_count falls back to count() there,
+    so ANN auto-sizing sees identical n either way (r5 VERDICT #8)."""
+    from jam_spark.scan import exact_count, metadata_row_count
+
+    path = str(tmp_path / "t.parquet")
+    spark.range(0, 1234).selectExpr("id", "id * 2 AS v").write.parquet(path)
+    df = spark.read.parquet(path)
+    assert metadata_row_count(df) == 1234
+    assert exact_count(df) == 1234 == df.count()
+    # cardinality-changing plans must NOT be answered from footers
+    assert metadata_row_count(df.filter("id < 10")) is None
+    assert exact_count(df.filter("id < 10")) == 10
+    # in-memory frame: no input files
+    mem = spark.createDataFrame([(1,), (2,)], "x long")
+    assert metadata_row_count(mem) is None
+    assert exact_count(mem) == 2
