@@ -135,9 +135,19 @@ def ngram_jaccard_pairs(
     every scale; pair work is bounded at O(n_grams × max_df²/2).
     """
     # _ngrams_col is array_distinct per doc — explode output is already
-    # (doc_id, gram)-distinct
-    raw = _ensure_parallelism(documents).select(
-        "doc_id", F.explode(_ngrams_col(n)).alias("gram")
+    # (doc_id, gram)-distinct. ONE scan+explode, PERSISTED: the hot-df
+    # aggregate, the anti-join, the sizes aggregate and both self-join
+    # sides all read the cache. Without the persist Catalyst duplicates
+    # the differently-pruned explode subtree per consumer — the round-5
+    # plan ran 8 scans + 8 gram explodes for this query
+    # (plans/r06/ngram_jaccard_pairs_before.txt; exchange reuse can't
+    # merge them because column pruning makes each copy distinct). No
+    # pre-repartition: a cached plan does not expose its partitioning
+    # to downstream EnsureRequirements in Spark 4, so a repartition
+    # inside the cache is a pure extra shuffle (measured on a probe).
+    raw = track(
+        _ensure_parallelism(documents)
+        .select("doc_id", F.explode(_ngrams_col(n)).alias("gram"))
     )
     hot = (
         raw.groupBy("gram")
@@ -145,13 +155,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") > max_df)
         .select("gram")
     )
-    # repartition on the join key: ONE exchange whose output all three
-    # consumers below (sizes, both self-join sides) reuse — without it
-    # the explode + anti-join subtree re-executes per consumer (measured
-    # 2.5× slower) — and the gram-keyed self-join needs no extra shuffle
-    grams = raw.join(F.broadcast(hot), "gram", "left_anti").repartition(
-        "gram"
-    )
+    grams = raw.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.select(F.col("doc_id").alias("doc_a"), "gram")
     g2 = grams.select(F.col("doc_id").alias("doc_b"), "gram")
@@ -247,26 +251,29 @@ def source_ngram_overlap(
     the output is C(n_sources, 2) rows — a driver-safe summary by
     construction.
 
-    Plan shape: one distinct (source, gram) aggregate; the hot-gram
-    reach set is a broadcast anti-join; one repartition("gram") whose
-    exchange feeds the sizes aggregate and both self-join sides.
+    Plan shape: one persisted distinct (source, gram) aggregate; the
+    hot-gram reach set is a broadcast anti-join; sizes and both
+    self-join sides read the cache.
     """
     docs = _ensure_parallelism(documents)
     # explode is per-doc distinct (array_distinct); the corpus-level
     # distinct collapses same-source repeats so count(1) per gram below
-    # IS the gram's distinct-source reach
-    sg = docs.select(
-        "source", F.explode(_ngrams_col(n)).alias("gram")
-    ).distinct()
+    # IS the gram's distinct-source reach. The distinct output is
+    # PERSISTED: the reach aggregate, anti-join, sizes and both
+    # self-join sides read the cache instead of re-running the
+    # scan+explode+distinct per consumer (the round-5 plan duplicated
+    # that subtree 8x, plans/r06/source_ngram_overlap_before.txt).
+    sg = track(
+        docs.select("source", F.explode(_ngrams_col(n)).alias("gram"))
+        .distinct()
+    )
     hot = (
         sg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("reach"))
         .filter(F.col("reach") > max_sources)
         .select("gram")
     )
-    grams = sg.join(F.broadcast(hot), "gram", "left_anti").repartition(
-        "gram"
-    )
+    grams = sg.join(F.broadcast(hot), "gram", "left_anti")
     sizes = grams.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     g1 = grams.select(F.col("source").alias("source_a"), "gram")
     g2 = grams.select(F.col("source").alias("source_b"), "gram")
@@ -376,10 +383,16 @@ def decontaminate(
     docs = _ensure_parallelism(documents)
     is_bench = (F.col("doc_id") % modulus) == residue
     # _ngrams_col is array_distinct per doc — explode output is already
-    # (doc_id, gram)-distinct
-    grams = docs.select(
-        "doc_id", is_bench.alias("is_bench"),
-        F.explode(_ngrams_col(n)).alias("gram"),
+    # (doc_id, gram)-distinct. ONE scan+explode carrying the is_bench
+    # flag, PERSISTED: the bench-gram distinct, the hot-df aggregate,
+    # the sizes aggregate and the probe join all derive from the cache
+    # (the round-5 plan re-ran the scan+explode 5x,
+    # plans/r06/decontaminate_before.txt).
+    grams = track(
+        docs.select(
+            "doc_id", is_bench.alias("is_bench"),
+            F.explode(_ngrams_col(n)).alias("gram"),
+        )
     )
     bench = grams.filter(F.col("is_bench")).select("gram").distinct()
     train0 = grams.filter(~F.col("is_bench")).select("doc_id", "gram")
@@ -389,13 +402,16 @@ def decontaminate(
         .filter(F.col("df") > max_df)
         .select("gram")
     )
-    # one gram-keyed exchange reused by sizes and the probe join
-    train = train0.join(F.broadcast(hot), "gram", "left_anti").repartition(
-        "gram"
-    )
+    train = train0.join(F.broadcast(hot), "gram", "left_anti")
     sizes = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    # the benchmark-gram probe is NOT force-broadcast (r5 VERDICT
+    # foot-gun: F.broadcast overrode the size threshold, so a
+    # corpus-scale "benchmark" slice meant a driver OOM instead of a
+    # plan change): Catalyst/AQE broadcast it when its measured size is
+    # small — true for every real benchmark suite — and an oversized
+    # slice degrades to a partitioned join.
     hits = (
-        train.join(F.broadcast(bench), "gram")
+        train.join(bench, "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
@@ -2221,16 +2237,21 @@ def winnow_dup_pairs(
     # guard-free so their zero-shuffle plans hold for callers that
     # control their own partitioning). winnow_doc_fps dedupes (doc, fp)
     # INSIDE the row, so no corpus-wide distinct exchange is needed.
-    fps = winnow_doc_fps(_ensure_parallelism(documents), k=k, w=w)
+    # ONE winnow pass, PERSISTED (the per-window argmin is the
+    # expensive map stage here — the round-5 plan re-ran it 8x, once
+    # per differently-pruned consumer subtree,
+    # plans/r06/winnow_dup_pairs_before.txt); the hot-df aggregate,
+    # anti-join, sizes and both self-join sides read the cache.
+    fps = track(
+        winnow_doc_fps(_ensure_parallelism(documents), k=k, w=w)
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
         .select("fp")
     )
-    # one exchange on the join key feeds the sizes aggregate and both
-    # self-join sides (same reused-exchange shape as ngram_jaccard_pairs)
-    kept = fps.join(F.broadcast(hot), "fp", "left_anti").repartition("fp")
+    kept = fps.join(F.broadcast(hot), "fp", "left_anti")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     p1 = kept.select(F.col("doc_id").alias("doc_a"), "fp")
     p2 = kept.select(F.col("doc_id").alias("doc_b"), "fp")
