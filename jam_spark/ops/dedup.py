@@ -135,19 +135,21 @@ def ngram_jaccard_pairs(
     every scale; pair work is bounded at O(n_grams × max_df²/2).
     """
     # _ngrams_col is array_distinct per doc — explode output is already
-    # (doc_id, gram)-distinct. ONE scan+explode, PERSISTED: the hot-df
-    # aggregate, the anti-join, the sizes aggregate and both self-join
-    # sides all read the cache. Without the persist Catalyst duplicates
-    # the differently-pruned explode subtree per consumer — the round-5
-    # plan ran 8 scans + 8 gram explodes for this query
-    # (plans/r06/ngram_jaccard_pairs_before.txt; exchange reuse can't
-    # merge them because column pruning makes each copy distinct). No
-    # pre-repartition: a cached plan does not expose its partitioning
-    # to downstream EnsureRequirements in Spark 4, so a repartition
-    # inside the cache is a pure extra shuffle (measured on a probe).
+    # (doc_id, gram)-distinct. ONE scan+explode+gram-exchange, PERSISTED
+    # with its hash partitioning (the packed_bands move from the
+    # flagship's pairs stage): the hot-df aggregate and both self-join
+    # sides read the cache with their required distribution already
+    # satisfied — zero further corpus-sized exchanges (cached
+    # HashPartitioning stays visible under the default
+    # canChangeCachedPlanOutputPartitioning=false; probed on 4.1).
+    # Without the persist Catalyst duplicates the differently-pruned
+    # explode subtree per consumer — the round-5 plan ran 8 scans + 8
+    # gram explodes for this query
+    # (plans/r06/ngram_jaccard_pairs_before.txt).
     raw = track(
         _ensure_parallelism(documents)
         .select("doc_id", F.explode(_ngrams_col(n)).alias("gram"))
+        .repartition("gram")
     )
     hot = (
         raw.groupBy("gram")
@@ -251,20 +253,25 @@ def source_ngram_overlap(
     the output is C(n_sources, 2) rows — a driver-safe summary by
     construction.
 
-    Plan shape: one persisted distinct (source, gram) aggregate; the
-    hot-gram reach set is a broadcast anti-join; sizes and both
-    self-join sides read the cache.
+    Plan shape: one persisted gram-partitioned distinct (source, gram)
+    aggregate; the hot-gram reach set is a broadcast anti-join; the
+    reach aggregate and both self-join sides are exchange-free over the
+    cache.
     """
     docs = _ensure_parallelism(documents)
     # explode is per-doc distinct (array_distinct); the corpus-level
     # distinct collapses same-source repeats so count(1) per gram below
-    # IS the gram's distinct-source reach. The distinct output is
-    # PERSISTED: the reach aggregate, anti-join, sizes and both
-    # self-join sides read the cache instead of re-running the
-    # scan+explode+distinct per consumer (the round-5 plan duplicated
-    # that subtree 8x, plans/r06/source_ngram_overlap_before.txt).
+    # IS the gram's distinct-source reach. The distinct runs ON TOP of
+    # the one gram exchange (hashpartitioning(gram) clusters every
+    # (source, gram) duplicate into one partition — subset clustering,
+    # no second exchange) and the result is PERSISTED with that
+    # partitioning, so the reach aggregate and both self-join sides are
+    # exchange-free over the cache (the round-5 plan duplicated the
+    # whole scan+explode+distinct subtree 8x,
+    # plans/r06/source_ngram_overlap_before.txt).
     sg = track(
         docs.select("source", F.explode(_ngrams_col(n)).alias("gram"))
+        .repartition("gram")
         .distinct()
     )
     hot = (
@@ -383,16 +390,17 @@ def decontaminate(
     docs = _ensure_parallelism(documents)
     is_bench = (F.col("doc_id") % modulus) == residue
     # _ngrams_col is array_distinct per doc — explode output is already
-    # (doc_id, gram)-distinct. ONE scan+explode carrying the is_bench
-    # flag, PERSISTED: the bench-gram distinct, the hot-df aggregate,
-    # the sizes aggregate and the probe join all derive from the cache
-    # (the round-5 plan re-ran the scan+explode 5x,
+    # (doc_id, gram)-distinct. ONE scan+explode+gram-exchange carrying
+    # the is_bench flag, PERSISTED with its hash partitioning: the
+    # bench-gram distinct (subset clustering), the hot-df aggregate and
+    # the probe join all run exchange-free over the cache (the round-5
+    # plan re-ran the scan+explode 5x,
     # plans/r06/decontaminate_before.txt).
     grams = track(
         docs.select(
             "doc_id", is_bench.alias("is_bench"),
             F.explode(_ngrams_col(n)).alias("gram"),
-        )
+        ).repartition("gram")
     )
     bench = grams.filter(F.col("is_bench")).select("gram").distinct()
     train0 = grams.filter(~F.col("is_bench")).select("doc_id", "gram")
@@ -2237,13 +2245,15 @@ def winnow_dup_pairs(
     # guard-free so their zero-shuffle plans hold for callers that
     # control their own partitioning). winnow_doc_fps dedupes (doc, fp)
     # INSIDE the row, so no corpus-wide distinct exchange is needed.
-    # ONE winnow pass, PERSISTED (the per-window argmin is the
-    # expensive map stage here — the round-5 plan re-ran it 8x, once
-    # per differently-pruned consumer subtree,
-    # plans/r06/winnow_dup_pairs_before.txt); the hot-df aggregate,
-    # anti-join, sizes and both self-join sides read the cache.
+    # ONE winnow pass + fp-exchange, PERSISTED with its hash
+    # partitioning (the per-window argmin is the expensive map stage
+    # here — the round-5 plan re-ran it 8x, once per differently-pruned
+    # consumer subtree, plans/r06/winnow_dup_pairs_before.txt); the
+    # hot-df aggregate and both self-join sides run exchange-free over
+    # the cache.
     fps = track(
         winnow_doc_fps(_ensure_parallelism(documents), k=k, w=w)
+        .repartition("fp")
     )
     hot = (
         fps.groupBy("fp")

@@ -88,3 +88,49 @@ def test_exact_dedup_members_null_text_not_dropped(spark):
     _parity(
         spark, docs, exact_dedup_members, exact_dedup_members_sql(), ["doc_id"]
     )
+
+
+def test_gram_postings_materialized_once(spark):
+    """The r6 optimization: the exploded gram/fingerprint postings frame
+    is persisted once per query — every Generate (explode) and every
+    winnow pass must live INSIDE the cached subtree, never re-planned
+    per consumer (the round-5 plans re-ran the scan+explode up to 8x:
+    plans/r06/*_before.txt). Also pins the exchange-elision property:
+    the cached frame is hash-partitioned on the join key, so the
+    self-join sides and hot-key aggregate add no exchange of their own
+    (cached HashPartitioning stays visible under the default
+    canChangeCachedPlanOutputPartitioning=false)."""
+    import pandas as pd
+
+    from jam_spark._persist import release_all
+    from jam_spark.ops.dedup import (
+        decontaminate,
+        ngram_jaccard_pairs,
+        winnow_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(40)),
+                "text": [
+                    f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+                    f"iota kappa lambda mu nu xi omicron pi rho{i % 5}"
+                    for i in range(40)
+                ],
+            }
+        )
+    )
+    try:
+        for fn in (ngram_jaccard_pairs, winnow_dup_pairs, decontaminate):
+            plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan
+            # every explode lives inside the cached plan: the first
+            # Generate in the plan string must appear only after the
+            # first InMemoryRelation marker
+            if "Generate" in plan:
+                assert plan.index("Generate") > plan.index(
+                    "InMemoryRelation"
+                ), f"{fn.__name__}: explode re-planned outside the cache"
+    finally:
+        release_all()
