@@ -816,11 +816,26 @@ def simhash_sql() -> str:
 SIMHASH_BANDS = 4
 
 
+def _simhash_fps(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash, fpl) — the tracked-persist fingerprint frame
+    every simhash stage shares; ``fpl`` is the 60-bit fingerprint as ONE
+    long (conv is injective on 60 bits, so fpl-equality == simhash-
+    equality). Computing this once and passing it around is what keeps
+    :func:`simhash_dup_clusters` from re-running the per-doc token-hash
+    fold 3 extra times over the corpus (r5 ADVICE)."""
+    return track(
+        simhash(documents).withColumn(
+            "fpl", F.conv("simhash", 2, 10).cast("long")
+        )
+    )
+
+
 def simhash_dup_pairs(
     documents: DataFrame,
     k: int = 3,
     band_cap: int | None = None,
     include_mirror_pairs: bool = True,
+    _fps: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) — all document pairs whose simhash
     fingerprints are within hamming distance ``k`` (Manku et al., WWW'07
@@ -863,11 +878,7 @@ def simhash_dup_pairs(
     # formulation the SQL twin runs (banding only affects candidate
     # GENERATION, which is pigeonhole-complete either way); measured
     # ~8.1s -> ~1.8s warm on the 5k-doc sf0.1 table (271k output pairs).
-    fps = track(
-        simhash(documents).withColumn(
-            "fpl", F.conv("simhash", 2, 10).cast("long")
-        )
-    )  # (doc_id, simhash, fpl) — reused 4x
+    fps = _fps if _fps is not None else _simhash_fps(documents)
     uf = fps.select("fpl").distinct()
     # band b covers bit positions [45-15b, 60-15b); key packs band_id
     # into the top bits (band values are < 2^15, ids < 4)
@@ -2459,10 +2470,15 @@ def simhash_dup_clusters(
     """
     from ..cluster import connected_components
 
+    # ONE tracked fingerprint pass shared by the banded cross-pair join
+    # AND the mirror-star reps/members below — previously the untracked
+    # second simhash(documents) re-ran the per-doc token-hash fold ~3
+    # extra times over the corpus (r5 ADVICE)
+    fps = _simhash_fps(documents)
     cross = simhash_dup_pairs(
-        documents, k=k, band_cap=band_cap, include_mirror_pairs=False
+        documents, k=k, band_cap=band_cap, include_mirror_pairs=False,
+        _fps=fps,
     ).select("doc_a", "doc_b")
-    fps = simhash(documents)
     # rep per fingerprint via the map-side-combinable aggregate (NOT a
     # window: a 10^8-row mirror group must pre-collapse per map task,
     # not sort inside one window partition); the member join back is

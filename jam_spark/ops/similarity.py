@@ -755,10 +755,14 @@ def _lsh_candidate_pairs(
         stacked = np.stack(sigs, axis=1).astype(np.int64)
         return pd.Series(list(stacked))
 
+    # ONE bucket-keyed exchange, persisted with its hash partitioning:
+    # the thin-guard's size aggregate and both self-join sides then
+    # plan zero further exchanges over the postings (same move as the
+    # flagship's packed_bands / the r6 gram-postings caches)
     b = track(
         embeddings.select(
             "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
-        )
+        ).repartition("bucket")
     )
     b = thin_hot_buckets(b, bucket_cap)
     return (
