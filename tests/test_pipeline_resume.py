@@ -407,7 +407,7 @@ def test_crash_between_bands_append_and_watermark(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from jam_spark.pairs import bands_table, thin_hot_bands, with_nid
+    from jam_spark.pairs import packed_bands, thin_hot_bkeys, with_nid
     from jam_spark.pipeline import dedup_pipeline
 
     params = SketchParams()
@@ -427,8 +427,8 @@ def test_crash_between_bands_append_and_watermark(spark, tmp_path):
     known = spark.read.parquet(_os.path.join(root, "band_nids"))
     new_sk = sk.join(known, "nid", "left_anti")
     assert new_sk.count() > 0
-    delta = thin_hot_bands(
-        bands_table(new_sk, params, id_col="nid"), params, id_col="nid"
+    delta = thin_hot_bkeys(
+        packed_bands(new_sk, params, id_col="nid"), params, id_col="nid"
     )
     with open(_os.path.join(root, "bands.append_intent"), "w") as f:
         f.write("{}")
@@ -441,7 +441,7 @@ def test_crash_between_bands_append_and_watermark(spark, tmp_path):
 
     bands = spark.read.parquet(_os.path.join(root, "bands"))
     n_rows = bands.count()
-    n_distinct = bands.select("nid", "band_id", "band_hash").distinct().count()
+    n_distinct = bands.select("nid", "bkey").distinct().count()
     assert n_rows == n_distinct, "retry duplicated postings"
     # both append windows closed cleanly
     assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
@@ -457,7 +457,7 @@ def test_crash_during_full_bands_rebuild_with_stale_watermark(spark, tmp_path):
     import os as _os
     import shutil as _shutil
 
-    from jam_spark.pairs import bands_table, thin_hot_bands, with_nid
+    from jam_spark.pairs import packed_bands, thin_hot_bkeys, with_nid
     from jam_spark.pipeline import dedup_pipeline
 
     params = SketchParams()
@@ -477,8 +477,8 @@ def test_crash_during_full_bands_rebuild_with_stale_watermark(spark, tmp_path):
     # the crashed rebuild: marker open, FULL bands written, watermark
     # never rewritten (still the 80-page epoch's nid set)
     sk = with_nid(spark.read.parquet(_os.path.join(root, "sketches")))
-    full_bands = thin_hot_bands(
-        bands_table(sk, params, id_col="nid"), params, id_col="nid"
+    full_bands = thin_hot_bkeys(
+        packed_bands(sk, params, id_col="nid"), params, id_col="nid"
     )
     with open(_os.path.join(root, "bands.append_intent"), "w") as f:
         f.write("{}")
@@ -491,6 +491,66 @@ def test_crash_during_full_bands_rebuild_with_stale_watermark(spark, tmp_path):
     bands = spark.read.parquet(_os.path.join(root, "bands"))
     assert (
         bands.count()
-        == bands.select("nid", "band_id", "band_hash").distinct().count()
+        == bands.select("nid", "bkey").distinct().count()
     ), "stale-watermark retry duplicated postings"
     assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
+
+
+def test_pre_r6_unpacked_bands_table_migrates_and_dedups(spark, tmp_path):
+    """Upgrade path: a checkpoint whose bands table is still in the
+    pre-r6 (nid, band_id, band_hash) shape — possibly with DUPLICATE
+    postings from a pre-intent-marker crashed append (the r5 ADVICE
+    upgrade window: no marker file, so the gate alone would skip the
+    idempotency anti-join) — must be migrated once to the packed
+    (bkey, nid) shape, row-deduplicated, and converge to the
+    from-scratch clusters on the next incremental run."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from jam_spark.pairs import _BKEY_MASK, bands_table, thin_hot_bands, with_nid
+    from jam_spark.pipeline import dedup_pipeline
+
+    params = SketchParams()
+    pages_all = spark.createDataFrame(
+        pages_to_pandas(generate_pages(n_docs=120, seed=13))
+    ).cache()
+    first = pages_all.limit(80)
+    root = str(tmp_path / "ck_migrate")
+    CheckpointedDedup(spark, root, params).run(first)
+
+    # rewrite the bands table into the legacy unpacked shape, with every
+    # posting DUPLICATED (what a pre-marker crashed append could leave,
+    # un-flagged: no .append_intent file exists)
+    sk = with_nid(spark.read.parquet(_os.path.join(root, "sketches")))
+    legacy = thin_hot_bands(
+        bands_table(sk, params, id_col="nid"), params, id_col="nid"
+    ).select("nid", "band_id", "band_hash")
+    legacy = legacy.unionByName(legacy)  # planted duplicates
+    tmp = _os.path.join(root, "bands.__legacy__")
+    legacy.write.mode("overwrite").parquet(tmp)
+    import shutil as _shutil
+
+    _shutil.rmtree(_os.path.join(root, "bands"))
+    _os.replace(tmp, _os.path.join(root, "bands"))
+    assert not _os.path.exists(_os.path.join(root, "bands.append_intent"))
+
+    got = _clusters_dict(CheckpointedDedup(spark, root, params).run(pages_all))
+    want = _clusters_dict(dedup_pipeline(pages_all, params))
+    assert got == want
+
+    bands = spark.read.parquet(_os.path.join(root, "bands"))
+    assert "bkey" in bands.columns and "band_id" not in bands.columns
+    assert (
+        bands.count() == bands.select("nid", "bkey").distinct().count()
+    ), "migration left duplicate postings"
+    # the migrated legacy postings (packed + deduplicated) must all be
+    # present in the final table (the incremental run only appends the
+    # new pages' postings on top)
+    expect = legacy.select(
+        F.shiftleft(F.col("band_id").cast("long"), 58)
+        .bitwiseOR(F.col("band_hash").bitwiseAND(F.lit(_BKEY_MASK)))
+        .alias("bkey"),
+        "nid",
+    ).distinct()
+    assert expect.exceptAll(bands.select("bkey", "nid")).count() == 0
