@@ -136,15 +136,18 @@ def ngram_jaccard_pairs(
     """
     # _ngrams_col is array_distinct per doc — explode output is already
     # (doc_id, gram)-distinct. ONE scan+explode+gram-exchange, PERSISTED
-    # with its hash partitioning (the packed_bands move from the
-    # flagship's pairs stage): the hot-df aggregate and both self-join
-    # sides read the cache with their required distribution already
-    # satisfied — zero further corpus-sized exchanges (cached
-    # HashPartitioning stays visible under the default
-    # canChangeCachedPlanOutputPartitioning=false; probed on 4.1).
-    # Without the persist Catalyst duplicates the differently-pruned
-    # explode subtree per consumer — the round-5 plan ran 8 scans + 8
-    # gram explodes for this query
+    # hash-partitioned on the join key (the packed_bands move from the
+    # flagship's pairs stage): gram rows are colocated, so the hot-df
+    # partial aggregate collapses each gram before its exchange, and any
+    # plan built AFTER the cache materializes (a later action over the
+    # same frame — the *_clusters queries) sees the cached
+    # HashPartitioning and plans no exchange at all (probed on 4.1,
+    # default canChangeCachedPlanOutputPartitioning=false; a plan built
+    # before materialization still inserts its own exchanges — measured
+    # net faster regardless). The big win is materialize-once: without
+    # the persist Catalyst duplicates the differently-pruned explode
+    # subtree per consumer — the round-5 plan ran 8 scans + 8 gram
+    # explodes for this query
     # (plans/r06/ngram_jaccard_pairs_before.txt).
     raw = track(
         _ensure_parallelism(documents)
@@ -265,10 +268,9 @@ def source_ngram_overlap(
     # the one gram exchange (hashpartitioning(gram) clusters every
     # (source, gram) duplicate into one partition — subset clustering,
     # no second exchange) and the result is PERSISTED with that
-    # partitioning, so the reach aggregate and both self-join sides are
-    # exchange-free over the cache (the round-5 plan duplicated the
-    # whole scan+explode+distinct subtree 8x,
-    # plans/r06/source_ngram_overlap_before.txt).
+    # partitioning (see the plan note on ngram_jaccard_pairs); the
+    # round-5 plan duplicated the whole scan+explode+distinct subtree
+    # 8x (plans/r06/source_ngram_overlap_before.txt).
     sg = track(
         docs.select("source", F.explode(_ngrams_col(n)).alias("gram"))
         .repartition("gram")
@@ -393,9 +395,10 @@ def decontaminate(
     # (doc_id, gram)-distinct. ONE scan+explode+gram-exchange carrying
     # the is_bench flag, PERSISTED with its hash partitioning: the
     # bench-gram distinct (subset clustering), the hot-df aggregate and
-    # the probe join all run exchange-free over the cache (the round-5
-    # plan re-ran the scan+explode 5x,
-    # plans/r06/decontaminate_before.txt).
+    # the probe join all derive from the one cache (the round-5 plan
+    # re-ran the scan+explode 5x,
+    # plans/r06/decontaminate_before.txt; see the plan note on
+    # ngram_jaccard_pairs for the partitioning rationale).
     grams = track(
         docs.select(
             "doc_id", is_bench.alias("is_bench"),
@@ -2256,12 +2259,11 @@ def winnow_dup_pairs(
     # guard-free so their zero-shuffle plans hold for callers that
     # control their own partitioning). winnow_doc_fps dedupes (doc, fp)
     # INSIDE the row, so no corpus-wide distinct exchange is needed.
-    # ONE winnow pass + fp-exchange, PERSISTED with its hash
-    # partitioning (the per-window argmin is the expensive map stage
-    # here — the round-5 plan re-ran it 8x, once per differently-pruned
-    # consumer subtree, plans/r06/winnow_dup_pairs_before.txt); the
-    # hot-df aggregate and both self-join sides run exchange-free over
-    # the cache.
+    # ONE winnow pass + fp-exchange, PERSISTED hash-partitioned on fp
+    # (the per-window argmin is the expensive map stage here — the
+    # round-5 plan re-ran it 8x, once per differently-pruned consumer
+    # subtree, plans/r06/winnow_dup_pairs_before.txt); see the plan
+    # note on ngram_jaccard_pairs for the partitioning rationale.
     fps = track(
         winnow_doc_fps(_ensure_parallelism(documents), k=k, w=w)
         .repartition("fp")

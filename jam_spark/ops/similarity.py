@@ -755,10 +755,12 @@ def _lsh_candidate_pairs(
         stacked = np.stack(sigs, axis=1).astype(np.int64)
         return pd.Series(list(stacked))
 
-    # ONE bucket-keyed exchange, persisted with its hash partitioning:
-    # the thin-guard's size aggregate and both self-join sides then
-    # plan zero further exchanges over the postings (same move as the
-    # flagship's packed_bands / the r6 gram-postings caches)
+    # ONE bucket-keyed exchange, persisted with its hash partitioning
+    # (same move as the flagship's packed_bands / the r6 gram-postings
+    # caches): bucket rows are colocated for the thin-guard's size
+    # aggregate, and the post-probe self-join — planned after the probe
+    # action materializes the cache — inherits the partitioning with no
+    # exchange of its own
     b = track(
         embeddings.select(
             "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")

@@ -95,11 +95,10 @@ def test_gram_postings_materialized_once(spark):
     is persisted once per query — every Generate (explode) and every
     winnow pass must live INSIDE the cached subtree, never re-planned
     per consumer (the round-5 plans re-ran the scan+explode up to 8x:
-    plans/r06/*_before.txt). Also pins the exchange-elision property:
-    the cached frame is hash-partitioned on the join key, so the
-    self-join sides and hot-key aggregate add no exchange of their own
-    (cached HashPartitioning stays visible under the default
-    canChangeCachedPlanOutputPartitioning=false)."""
+    plans/r06/*_before.txt). The cached frame is hash-partitioned on
+    the join key: colocation collapses the hot-key partial aggregate,
+    and plans built after materialization (later actions) inherit the
+    partitioning exchange-free."""
     import pandas as pd
 
     from jam_spark._persist import release_all
