@@ -692,7 +692,15 @@ def _ivf_candidates(
         top = np.take_along_axis(top, order, axis=1)
         return pd.Series(list(top.astype(np.int64)))
 
-    ids = embeddings.select("vec_id", "embedding")
+    # scan-parallelism guard (jam_spark.scan): a single-split embeddings
+    # file would otherwise serialize the probe UDF AND everything narrow
+    # downstream of it — the broadcast candidate join, the Arrow rescore
+    # and the window's map-side top-k all inherit the input partitioning
+    # (measured 2x on ann_ivf_topk at sf0.1 once the no-op distinct
+    # below stopped accidentally re-partitioning mid-plan)
+    from ..scan import ensure_scan_parallelism
+
+    ids = ensure_scan_parallelism(embeddings).select("vec_id", "embedding")
     # ONE probe-UDF pass serves both roles (persisted): element 1 is the
     # assignment cell (nearest), the full list is the query's probe set
     assigned = track(
@@ -710,13 +718,18 @@ def _ivf_candidates(
     probes = assigned.select(
         "vec_id", F.explode("probes").alias("bucket")
     )
+    # no .distinct(): each corpus vector posts to exactly ONE cell (its
+    # assignment) and a query's probe cells are distinct argpartition
+    # indices, so a directed (vec_id, neighbor_id) pair can match at
+    # most once — the dedup exchange over the full candidate set was a
+    # provable no-op (r6: one exchange + hash aggregate removed; the
+    # docstring's "distinct" contract still holds by construction)
     return (
         probes.join(
             corpus.withColumnRenamed("vec_id", "neighbor_id"), "bucket"
         )
         .filter(F.col("vec_id") != F.col("neighbor_id"))
         .select("vec_id", "neighbor_id")
-        .distinct()
     )
 
 
@@ -755,6 +768,11 @@ def _lsh_candidate_pairs(
         stacked = np.stack(sigs, axis=1).astype(np.int64)
         return pd.Series(list(stacked))
 
+    # scan-parallelism guard: a single-split embeddings file would
+    # serialize the bucket UDF on one task (same reasoning as the docs
+    # operators; no-op on healthy inputs)
+    from ..scan import ensure_scan_parallelism
+
     # ONE bucket-keyed exchange, persisted with its hash partitioning
     # (same move as the flagship's packed_bands / the r6 gram-postings
     # caches): bucket rows are colocated for the thin-guard's size
@@ -762,9 +780,11 @@ def _lsh_candidate_pairs(
     # action materializes the cache — inherits the partitioning with no
     # exchange of its own
     b = track(
-        embeddings.select(
+        ensure_scan_parallelism(embeddings)
+        .select(
             "vec_id", F.explode(bucket_udf("embedding")).alias("bucket")
-        ).repartition("bucket")
+        )
+        .repartition("bucket")
     )
     b = thin_hot_buckets(b, bucket_cap)
     return (

@@ -2220,3 +2220,37 @@ def test_np2d_f64_dense_and_ragged_layouts():
     d64 = pa.array([[1.1, 2.2], [3.3, 4.4]], type=pa.list_(pa.float64()))
     ref64 = np.vstack([np.asarray(v) for v in d64.to_pylist()])
     assert (_np2d_f64(d64) == ref64).all()
+
+
+def test_ivf_candidates_are_distinct_by_construction(spark):
+    """r6: _ivf_candidates dropped its .distinct() exchange because a
+    corpus vector posts to exactly one cell and probe cells are
+    distinct — so the directed candidate set must already be
+    duplicate-free, including when the hot-cell thinner is active."""
+    import numpy as np
+    import pandas as pd
+
+    from jam_spark._persist import release_all
+    from jam_spark.ops.similarity import _ivf_candidates
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 400
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "embedding": [
+                    rng.normal(size=16).astype(np.float32).tolist()
+                    for _ in range(n)
+                ],
+            }
+        )
+    )
+    try:
+        cand = _ivf_candidates(embs, n, n_cells=8, n_probe=3, cell_cap=64)
+        rows = cand.collect()
+        pairs = [(r["vec_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate directed candidates"
+        assert pairs, "candidate set empty"
+    finally:
+        release_all()
