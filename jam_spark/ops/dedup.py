@@ -1595,6 +1595,7 @@ def mix_plan(
     weights_ppm: dict[str, int] | None = None,
     default_ppm: int = 0,
     stratum_col: str = "lang",
+    _tok: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budget training-mix planner: given a total token budget and
     per-stratum mix weights (parts-per-million — integer weights keep
@@ -1632,11 +1633,19 @@ def mix_plan(
         tgt = F.when(
             hit, F.lit(budget_tokens * w // 1_000_000).cast("long")
         ).otherwise(tgt)
-    agg = (
-        documents.select(
+    # _tok: an already-derived (stratum, n_tokens) frame — mix_report
+    # passes its persisted decision frame so the corpus is scanned and
+    # tokenized ONCE instead of twice (supply pass + decision pass)
+    tok = (
+        _tok
+        if _tok is not None
+        else documents.select(
             F.col(stratum_col).alias("stratum"),
             F.size(_tokens_col()).cast("long").alias("n_tokens"),
         )
+    )
+    agg = (
+        tok.select("stratum", "n_tokens")
         .groupBy("stratum")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1748,22 +1757,28 @@ def mix_report(
     Scale shape (100 TB): the plan side is a handful of rows — it is
     BROADCAST to the per-doc decision join (no shuffle of the corpus);
     the audit is then one map-side-combinable groupBy on the stratum
-    key. The corpus is scanned twice (supply pass + decision pass),
-    both passes pruned to (doc_id, stratum, text); callers with an
-    already-materialised plan can skip the first scan by sampling with
-    :func:`stratified_sample` directly.
+    key. The corpus is scanned and tokenized ONCE: the (stratum,
+    n_tokens, bucket) frame is persisted and feeds both the planner's
+    supply aggregate and the per-doc decision join (r6 — previously two
+    full passes); callers with an already-materialised plan can sample
+    with :func:`stratified_sample` directly.
     """
-    plan = mix_plan(
-        documents, budget_tokens=budget_tokens, weights_ppm=weights_ppm,
-        default_ppm=default_ppm, stratum_col=stratum_col,
-    )
     bucket = F.substring(
         F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
     )
-    docs = documents.select(
-        F.col(stratum_col).alias("stratum"),
-        F.size(_tokens_col()).cast("long").alias("n_tokens"),
-        bucket.alias("bucket"),
+    # ONE scan+tokenize pass, persisted: the planner's supply aggregate
+    # and the per-doc decision join both read this frame (previously
+    # two full passes — r6; released by the per-query release_all)
+    docs = track(
+        documents.select(
+            F.col(stratum_col).alias("stratum"),
+            F.size(_tokens_col()).cast("long").alias("n_tokens"),
+            bucket.alias("bucket"),
+        )
+    )
+    plan = mix_plan(
+        documents, budget_tokens=budget_tokens, weights_ppm=weights_ppm,
+        default_ppm=default_ppm, stratum_col=stratum_col, _tok=docs,
     )
     kept = F.col("bucket") < F.col("sample_threshold")
     achieved, target = F.col("achieved_tokens"), F.col("target_tokens")
@@ -1925,7 +1940,11 @@ def line_dedup(
 
     No window functions, no driver-side state, three shuffles total.
     """
-    lines = _corpus_lines(documents)
+    # ONE scan+split+explode, persisted: the duplicate-line aggregate
+    # and the flagging join both read this frame (previously the
+    # explode subtree was planned twice — r6 materialize-once, same
+    # move as the gram postings; released by the per-query release_all)
+    lines = track(_corpus_lines(documents))
     eligible = F.length(F.trim(F.col("line"))) >= min_len
     dup_set = (
         lines.where(eligible)
@@ -2093,13 +2112,15 @@ def shard_plan(
     A doc straddling a boundary belongs to the shard it starts in.
 
     Scale shape (100 TB): a global ordered prefix sum with NO
-    single-partition window. Two-phase: (1) ``repartitionByRange`` on the
-    hash key — non-overlapping, ordered partitions — then one row per
-    PARTITION (not per doc) is aggregated to the driver and prefix-summed
-    there (``num_partitions`` rows; at 10k partitions that is 10k rows,
-    corpus-independent); (2) the per-partition offsets broadcast-join
-    back and a window partitioned BY PARTITION ID computes the local
-    cumsum, so every window group is one bounded range partition.
+    single-partition window. Two-phase: (1) every doc gets an ordered
+    range id ``pid`` as a pure map expression (the bucket is a uniform
+    md5 prefix, so ``bucket * P div 16^8`` yields P near-equal ordered
+    hash ranges — no range-sampling job, no pre-shuffle, no sort); one
+    row per RANGE (not per doc) is aggregated to the driver and
+    prefix-summed there (``num_partitions`` rows; at 10k ranges that is
+    10k rows, corpus-independent); (2) the per-range offsets
+    broadcast-join back and a window partitioned BY pid computes the
+    local cumsum, so every window group is one bounded hash range.
     Integer arithmetic end to end (BIGINT DIV) — hash-stable across
     engines, no float accumulation.
     """
@@ -2108,7 +2129,19 @@ def shard_plan(
         num_partitions = int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    tok = documents.select(
+    # the ordered range id is COMPUTED, not sampled: the bucket is a
+    # uniform 8-hex md5 prefix, so ``pid = bucket_value * P div 16^8``
+    # splits the hash line into P near-equal, ORDERED ranges as a pure
+    # map expression. This replaces the previous ``repartitionByRange``
+    # + ``spark_partition_id()`` formulation, which paid a separate
+    # range-boundary SAMPLING job (one extra scan+tokenize pass), a
+    # range exchange AND a per-partition sort — none of which the
+    # two-phase prefix sum needs (r6): the window below orders within
+    # pid anyway, and offsets only need pid ranges to be ordered and
+    # non-overlapping, which the monotone bucket→pid map guarantees.
+    # start_offset/shard_id are IDENTICAL: global (bucket, doc_id)
+    # order is unchanged.
+    tok = _ensure_parallelism(documents).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
@@ -2117,9 +2150,13 @@ def shard_plan(
         F.size(_tokens_col()).cast("long").alias("n_tokens"),
     )
     parts = track(
-        tok.repartitionByRange(num_partitions, "bucket", "doc_id")
-        .sortWithinPartitions("bucket", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
+        tok.withColumn(
+            "pid",
+            F.expr(
+                f"CAST((CAST(conv(bucket, 16, 10) AS BIGINT) * "
+                f"{int(num_partitions)}) DIV {16**8} AS INT)"
+            ),
+        )
     )
     totals = {
         r["pid"]: r["t"]

@@ -1754,16 +1754,19 @@ def test_shard_plan_matches_duckdb_and_straddler_invariant(spark):
 
 def test_shard_plan_has_no_single_partition_exchange(spark):
     """The 100x guard: the prefix sum must never route the corpus
-    through one partition. The physical plan's only allowed exchanges
-    are the range partition, the pid hash partition for the local
-    window, and the broadcast of the num_partitions-row offset table."""
+    through one partition. r6: the ordered range id is a COMPUTED
+    expression over the uniform md5 bucket (no repartitionByRange — no
+    range-boundary sampling job, no pre-shuffle, no sort), so the only
+    allowed exchanges are the pid hash partition for the local window
+    and the broadcast of the num_partitions-row offset table."""
     from jam_spark.ops.dedup import shard_plan
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = shard_plan(docs)
     explained = plan._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in explained
-    assert "rangepartitioning" in explained.lower()
+    assert "rangepartitioning" not in explained.lower()  # pid is computed
+    assert "hashpartitioning(pid" in explained
     assert "BroadcastExchange" in explained or "BroadcastHashJoin" in explained
 
     from jam_spark._persist import release_all
