@@ -761,39 +761,33 @@ def simhash(documents: DataFrame) -> DataFrame:
         F.array_distinct(_tokens_col()),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    # r6: 60 allocation-free scalar folds (one long accumulator per bit,
-    # bit positions unrolled as literals — shiftright needs a literal
-    # count in the DataFrame API) instead of one fold carrying a 60-long
-    # array through zip_with: the array formulation allocated two
-    # 60-element arrays PER TOKEN (acc copy + contribution array);
-    # identical sums, measured ~15% faster at sf0.1. The token-hash
-    # array is evaluated once per row (codegen subexpression
-    # elimination; regression-guarded by the timing being linear in
-    # bits, not bits x md5).
-    base = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id"), th_arr.alias("_th")
+    sums = F.aggregate(
+        th_arr,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        # contributions unrolled per bit (shiftright needs a literal count
+        # in the DataFrame API); acc[b] += (bit_b(th) ? +1 : -1)
+        lambda acc, th: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    ((F.shiftright(th, b) % 2) * 2 - 1).cast("long")
+                    for b in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
     )
-    th = F.col("_th")
-    bits = [
-        F.when(
-            F.aggregate(
-                th,
-                F.lit(0).cast("long"),
-                lambda acc, t: acc
-                + ((F.shiftright(t, b) % 2) * 2 - 1).cast("long"),
-            )
-            > 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for b in range(SIMHASH_BITS)
-    ]
-    # NULL text ⇒ NULL token array: the previous concat_ws formulation
-    # null-skipped to the empty string — preserved exactly here
-    return base.select(
-        "doc_id",
-        F.when(th.isNull(), F.lit(""))
-        .otherwise(F.concat(*reversed(bits)))
-        .alias("simhash"),
+    return documents.select(
+        F.col("doc_id").cast("long"),
+        F.concat_ws(
+            "",
+            F.reverse(
+                F.transform(
+                    sums,
+                    lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0")),
+                )
+            ),
+        ).alias("simhash"),
     )
 
 
