@@ -352,30 +352,6 @@ def cosine_dup_pairs_sql(threshold: float = 0.9) -> str:
     """
 
 
-@F.pandas_udf(T.DoubleType())
-def _cosine_fold_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
-    """Sequential-float64 cosine, INDEPENDENTLY implemented in numpy:
-    ``cumsum`` along the dim axis is a strict left-to-right prefix sum
-    (and the fold's ``0.0`` initial accumulator is an IEEE no-op), so
-    the last prefix is bit-identical to the JVM ``F.aggregate`` fold
-    and to DuckDB's ``list_reduce`` — while vectorizing across both
-    rows and dims. This is the production scorer for candidate
-    re-ranking (the JVM higher-order-function fold evaluates its
-    lambda per element, interpreted, ~2× slower on 128-dim arrays);
-    the JVM fold remains the reference implementation in the
-    :func:`cosine_topk` / :func:`cosine_dup_pairs` baselines and the
-    :func:`ann_rescored` certification re-derives every ANN cosine
-    with it, keeping the two implementations mutually checking."""
-    if len(ea) == 0:
-        return pd.Series(np.empty(0, dtype=np.float64))
-    a = np.vstack(ea.to_numpy()).astype(np.float64)
-    b = np.vstack(eb.to_numpy()).astype(np.float64)
-    num = np.cumsum(a * b, axis=1)[:, -1]
-    na = np.sqrt(np.cumsum(a * a, axis=1)[:, -1])
-    nb = np.sqrt(np.cumsum(b * b, axis=1)[:, -1])
-    return pd.Series(num / (na * nb))
-
-
 def _np2d_f64(col) -> np.ndarray:
     """(n, dim) float64 matrix from an Arrow ``list<float*>`` array.
 
@@ -414,10 +390,11 @@ def _exact_rescore(cand: DataFrame, embeddings: DataFrame) -> DataFrame:
     (:func:`_np2d_f64`): a strict left-to-right prefix sum whose last
     element is bit-identical to the JVM ``F.aggregate`` fold and to
     DuckDB's ``list_reduce`` (the ``0.0`` initial accumulator is an
-    IEEE no-op), exactly like the :func:`_cosine_fold_udf` it replaces
-    in the hot path — minus the per-row object marshalling
-    (``np.vstack`` over millions of rows dominated the ANN rescore
-    stage; the certification paths keep the independent JVM fold)."""
+    IEEE no-op), exactly like the pandas-UDF fold it replaces in the
+    hot path — minus the per-row object marshalling (``np.vstack`` over
+    millions of rows dominated the ANN rescore stage; the
+    :func:`ann_rescored` certification paths keep the independent JVM
+    fold, so the two implementations stay mutually checking)."""
     emb = embeddings.select("vec_id", "embedding")
     joined = (
         cand.join(emb.withColumnsRenamed({"embedding": "ea"}), "vec_id")
@@ -933,7 +910,7 @@ def ann_rescored(embeddings: DataFrame, k: int = 5, method: str = "ivf") -> Data
     a concrete (vec_id, neighbor_id) pair. This query re-derives that
     value for every returned pair with an INDEPENDENT implementation
     (the JVM ``F.aggregate`` fold vs the production paths' numpy
-    cumsum, :func:`_cosine_fold_udf`) and returns::
+    cumsum in :func:`_exact_rescore`) and returns::
 
         n_pairs_mismatched BIGINT,  -- pairs where reported != recomputed
         nonempty BOOLEAN            -- guard against vacuous truth
